@@ -1,0 +1,208 @@
+"""Batched byte-stream extraction dispatcher.
+
+The reference processes one document per subprocess in a sequential loop
+(/root/reference/app.py:2953-2968, 1567-1611).  Here the whole per-document
+pipeline — text-layer skip predicate (app.py:1155-1278), tolerant OCR-output
+parse+merge (app.py:1651-1823), token dedup (app.py:1705-1736), line grouping
+and serialization (app.py:4017-4120) — runs as ONE vectorized ``mapInPandas``
+stage over Arrow batches: no per-row Python at the Spark level, no shuffle
+inside the stage, deterministic per row.
+
+Routing is by document kind: the PDF path replays the reference semantics
+over the JSON envelope; the HTML path applies the readability-style
+boilerplate stripper (north-star extension).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import html_extract, ocr_parse, textops
+
+# Output schema of the dispatcher stage.
+EXTRACT_SCHEMA = (
+    "url string, lang string, doc_kind string, action string, "
+    "extracted_text string, page_count int, token_count int, "
+    "block_count int, parse_warnings int, low_coverage int, "
+    "bytes_in bigint, seconds double"
+)
+
+# Text-layer thresholds (app.py:98-100).
+MIN_TEXT_LAYER_CHARS = 10
+MIN_TEXT_SHOW_OPS = 1
+TEXT_LAYER_CHECK_PAGES = 20
+
+# Action enum (CSV `action` analogue, app.py:2675-2754).
+ACTION_EXTRACTED = "extracted"
+ACTION_SKIP_HAS_TEXT = "skip_has_text"
+ACTION_SKIP_NAME = "skip_name"
+ACTION_PARSE_FAILURE = "parse_failure"
+
+# Name-rule skip regex: stems matching `_ocr` / `_ocr_NNN` are this tool's own
+# outputs (app.py:87, 1306-1313).  Catalyst-evaluated RLike — no UDF.
+GENERATED_NAME_PATTERN = r"(?i)_ocr(_\d{3,})?$"
+
+
+def has_text_layer(pages_meta: Any) -> bool:
+    """Cumulative chars/ops scan over ≤20 pages with early exit
+    (app.py:1191-1248)."""
+    total_chars = 0
+    total_ops = 0
+    for meta in list(pages_meta or [])[:TEXT_LAYER_CHECK_PAGES]:
+        total_chars += int(meta.get("n_chars") or 0)
+        total_ops += int(meta.get("n_text_ops") or 0)
+        if total_chars >= MIN_TEXT_LAYER_CHARS or total_ops >= MIN_TEXT_SHOW_OPS:
+            return True
+    return False
+
+
+def extract_pdf_document(envelope: Dict[str, Any]) -> Dict[str, Any]:
+    """Full reference-semantics extraction for one parsed-PDF envelope."""
+    pages_meta = envelope.get("pages") or []
+    page_count = len(pages_meta)
+    if envelope.get("encrypted"):
+        # empty-password decrypt failure → hard error (app.py:1178-1189)
+        return {"action": ACTION_PARSE_FAILURE, "extracted_text": "",
+                "page_count": page_count, "token_count": 0, "block_count": 0,
+                "parse_warnings": 0, "low_coverage": 0}
+    if has_text_layer(pages_meta):
+        return {"action": ACTION_SKIP_HAS_TEXT, "extracted_text": "",
+                "page_count": page_count, "token_count": 0, "block_count": 0,
+                "parse_warnings": 0, "low_coverage": 0}
+    pages, stats = ocr_parse.parse_envelope(
+        envelope.get("ocr_outputs") or [], page_count)
+    page_texts = [
+        textops.serialize_page(pages[i].tokens, pages[i].text_blocks)
+        for i in range(page_count)
+    ]
+    doc_text = textops.serialize_document(page_texts)
+    if not any(p.has_any_text() for p in pages.values()):
+        # "OCR結果にテキストがありません" error branch (app.py:2724-2728)
+        action = ACTION_PARSE_FAILURE
+    else:
+        action = ACTION_EXTRACTED
+    return {"action": action, "extracted_text": doc_text,
+            "page_count": page_count, "token_count": stats["token_count"],
+            "block_count": stats["block_count"],
+            "parse_warnings": stats["parse_warnings"],
+            "low_coverage": stats["low_coverage"]}
+
+
+def extract_html_document(payload: bytes) -> Dict[str, Any]:
+    """HTML route: boilerplate strip → main text (north-star extension)."""
+    text = html_extract.extract_main_text(
+        payload.decode("utf-8", errors="replace"))
+    action = ACTION_EXTRACTED if text else ACTION_PARSE_FAILURE
+    return {"action": action, "extracted_text": text, "page_count": 1,
+            "token_count": 0, "block_count": 0, "parse_warnings": 0,
+            "low_coverage": 0}
+
+
+def extract_one(url: str, payload: bytes, lang: str) -> Dict[str, Any]:
+    """Dispatch one document; never raises — failures become action rows
+    (app.py:2790-2859 per-file try/except)."""
+    t0 = time.perf_counter()
+    kind = "html"
+    try:
+        head = bytes(payload[:64]).lstrip()
+        if head.startswith(b"{"):
+            envelope = json.loads(bytes(payload).decode("utf-8"))
+            if isinstance(envelope, dict) and envelope.get("kind") == "pdf":
+                kind = "pdf"
+                out = extract_pdf_document(envelope)
+            else:
+                out = extract_html_document(bytes(payload))
+        else:
+            out = extract_html_document(bytes(payload))
+    except Exception:
+        out = {"action": ACTION_PARSE_FAILURE, "extracted_text": "",
+               "page_count": 0, "token_count": 0, "block_count": 0,
+               "parse_warnings": 1, "low_coverage": 0}
+    out.update({
+        "url": url, "lang": lang, "doc_kind": kind,
+        "bytes_in": len(payload or b""),
+        "seconds": time.perf_counter() - t0,
+    })
+    return out
+
+
+_OUT_COLS = ["url", "lang", "doc_kind", "action", "extracted_text",
+             "page_count", "token_count", "block_count", "parse_warnings",
+             "low_coverage", "bytes_in", "seconds"]
+
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: one output row per input document row."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = [
+            extract_one(u, h, l)
+            for u, h, l in zip(pdf["url"], pdf["html"], pdf["lang"])
+        ]
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def with_size_bucket(df: DataFrame) -> DataFrame:
+    """Payload-size bucket for skew defusal.  Multi-hundred-page PDFs (large
+    payloads) get their own buckets so salting can spread them; the reference
+    had no skew handling (one 500-page doc serialized the batch,
+    app.py:2953)."""
+    b = F.col("bytes_len")
+    return (
+        df.withColumn("bytes_len", F.length(F.col("html")))
+        .withColumn(
+            "size_bucket",
+            F.when(b < 16_384, F.lit(0))
+            .when(b < 131_072, F.lit(1))
+            .when(b < 1_048_576, F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int = 0) -> DataFrame:
+    """Range-partition on (size_bucket, salt): docs of similar cost co-locate
+    (balanced Arrow batches) while the salt spreads each bucket across the
+    cluster — no hot partition from the 1% giant-doc tail."""
+    df = df.withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(1024)))
+    if num_partitions > 0:
+        return df.repartitionByRange(num_partitions, "size_bucket", "salt")
+    return df.repartitionByRange("size_bucket", "salt")
+
+
+def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
+    """name-rule filter (Catalyst RLike, no UDF) → size-bucketed salted
+    repartition → one vectorized extraction stage.
+
+    Returns the extraction result DataFrame; skip_name rows are re-unioned as
+    action rows so lineage counters see every input document.
+    """
+    skip_name = (
+        pages_df.filter(F.col("url").rlike(GENERATED_NAME_PATTERN))
+        .select(
+            "url", "lang",
+            F.lit("unknown").alias("doc_kind"),
+            F.lit(ACTION_SKIP_NAME).alias("action"),
+            F.lit("").alias("extracted_text"),
+            F.lit(0).alias("page_count"),
+            F.lit(0).alias("token_count"),
+            F.lit(0).alias("block_count"),
+            F.lit(0).alias("parse_warnings"),
+            F.lit(0).alias("low_coverage"),
+            F.length(F.col("html")).cast("bigint").alias("bytes_in"),
+            F.lit(0.0).alias("seconds"),
+        )
+    )
+    todo = pages_df.filter(~F.col("url").rlike(GENERATED_NAME_PATTERN))
+    todo = with_size_bucket(todo)
+    todo = salted_repartition(todo, num_partitions)
+    extracted = todo.select("url", "html", "lang").mapInPandas(
+        extract_batches, schema=EXTRACT_SCHEMA)
+    return extracted.unionByName(skip_name)
