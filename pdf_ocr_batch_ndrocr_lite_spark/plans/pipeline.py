@@ -70,19 +70,8 @@ def run_pipeline(
 
     results = ex.run_extraction(todo, num_partitions=num_partitions)
 
-    if output_path:
-        out = results.filter(F.col("action") == ex.ACTION_EXTRACTED)
-        storage.append(
-            out.select("url", "lang", "doc_kind", "extracted_text",
-                       "page_count", "token_count", "block_count"),
-            output_path,
-        )
-        if checkpoint_path:
-            lineage = ck.lineage_from_results(results, num_buckets)
-            ck.commit_lineage(spark, checkpoint_path, lineage, storage)
-        # run-level totals from the lineage/metrics rollup
-        summary_src = storage.read(spark, output_path)
-        totals = results.groupBy().agg(
+    def _totals(df: DataFrame) -> Dict[str, int]:
+        row = df.groupBy().agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("page_count").alias("pages"),
             F.sum(F.when(F.col("action") == ex.ACTION_EXTRACTED, 1)
@@ -94,15 +83,30 @@ def run_pipeline(
             F.sum(F.when(F.col("action") == ex.ACTION_SKIP_NAME, 1)
                   .otherwise(0)).alias("skip_name"),
         ).collect()[0]
-        return {k: int(totals[k] or 0) for k in
+        return {k: int(row[k] or 0) for k in
                 ["docs", "pages", "extracted", "parse_failures",
                  "skip_has_text", "skip_name"]}
 
-    # no sink: caller consumes the DataFrame (e.g. bench counts it)
-    totals = results.groupBy().agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("page_count").alias("pages"),
-    ).collect()[0]
-    return {"docs": int(totals["docs"] or 0), "pages": int(totals["pages"] or 0),
-            "extracted": 0, "parse_failures": 0, "skip_has_text": 0,
-            "skip_name": 0}
+    if not output_path:
+        # no sink: single aggregation pass, caller only wants counters
+        return _totals(results)
+
+    # The extraction stage is the expensive part — run it exactly once.
+    # persist() before fan-out to sink/lineage/totals; the append below is the
+    # first action and materializes every partition into the cache, so later
+    # consumers never re-read the (possibly since-rewritten) checkpoint files.
+    results = results.persist()
+    try:
+        storage.append(
+            results.filter(F.col("action") == ex.ACTION_EXTRACTED)
+            .select("url", "lang", "doc_kind", "extracted_text",
+                    "page_count", "token_count", "block_count"),
+            output_path,
+        )
+        totals = _totals(results)
+        if checkpoint_path:
+            lineage = ck.lineage_from_results(results, num_buckets)
+            ck.commit_lineage(spark, checkpoint_path, lineage, storage)
+        return totals
+    finally:
+        results.unpersist()

@@ -1,0 +1,108 @@
+"""End-to-end Spark pipeline tests: plumbing, batch invariance, resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_batch_ndrocr_lite_spark.operators import extract as E
+from pdf_ocr_batch_ndrocr_lite_spark.plans import checkpoint as ck
+from pdf_ocr_batch_ndrocr_lite_spark.plans.pipeline import run_pipeline
+from pdf_ocr_batch_ndrocr_lite_spark.sources.corpus import corpus_df, make_row
+from pdf_ocr_batch_ndrocr_lite_spark.sources.storage import StorageAdapter
+
+N_DOCS = 300
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    df = corpus_df(spark, N_DOCS, seed=SEED, partitions=8)
+    return {r["url"]: r for r in E.run_extraction(df).collect()}
+
+
+def test_every_input_accounted(results):
+    assert len(results) == N_DOCS
+
+
+def test_spark_matches_local_dispatch(results):
+    """Batch/partition invariance: the distributed run must byte-match a
+    local single-threaded dispatch of the same pure function."""
+    for i in range(N_DOCS):
+        row = make_row(SEED, i)
+        expected = E.extract_one(row["url"], row["html"], row["lang"])
+        got = results[row["url"]]
+        if expected["action"] == E.ACTION_SKIP_NAME or \
+                got["action"] == E.ACTION_SKIP_NAME:
+            # name-rule rows short-circuit relationally in Spark
+            assert row["url"].endswith(("_ocr", "_ocr_001"))
+            continue
+        assert got["action"] == expected["action"], row["url"]
+        assert got["extracted_text"] == expected["extracted_text"], row["url"]
+        assert got["page_count"] == expected["page_count"]
+        assert got["token_count"] == expected["token_count"]
+
+
+def test_action_mix(results):
+    actions = {r["action"] for r in results.values()}
+    assert E.ACTION_EXTRACTED in actions
+    assert E.ACTION_SKIP_HAS_TEXT in actions
+    assert E.ACTION_SKIP_NAME in actions
+    assert E.ACTION_PARSE_FAILURE in actions
+
+
+def test_name_rule_matches_spark_rlike(spark, results):
+    """The Catalyst RLike predicate and the reference regex agree."""
+    import re
+    ref_re = re.compile(r"_ocr(?:_\d{3,})?$", re.IGNORECASE)
+    for url, r in results.items():
+        stem = url.rsplit("/", 1)[-1]
+        assert (r["action"] == E.ACTION_SKIP_NAME) == bool(ref_re.search(stem))
+
+
+def test_pipeline_with_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "extractions")
+    ckpt = str(tmp_path / "checkpoint")
+    storage = StorageAdapter()
+    df = corpus_df(spark, 120, seed=SEED, partitions=4)
+
+    totals = run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                          storage=storage, num_buckets=16)
+    assert totals["docs"] == 120
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first == totals["extracted"] > 0
+
+    # checkpoint covers every bucket that had documents
+    ckpt_df = spark.read.parquet(ckpt)
+    assert ckpt_df.agg(F.sum("docs")).collect()[0][0] == 120
+
+    # re-run: everything checkpointed → no new output rows (idempotency)
+    totals2 = run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                           storage=storage, num_buckets=16)
+    assert totals2["docs"] == 0
+    assert spark.read.parquet(out).count() == n_first
+
+
+def test_partial_resume_no_duplicates(spark, tmp_path):
+    """Kill-after-partition-k semantics: pre-mark half the buckets done,
+    run, then complete; no url appears twice."""
+    out = str(tmp_path / "extractions")
+    ckpt = str(tmp_path / "checkpoint")
+    storage = StorageAdapter()
+    df = corpus_df(spark, 100, seed=SEED, partitions=4)
+
+    keyed = ck.with_partition_key(df, 8)
+    half = keyed.filter(F.col("partition_key") < 4)
+    totals_half = run_pipeline(spark, half.drop("partition_key"),
+                               output_path=out, checkpoint_path=ckpt,
+                               storage=storage, num_buckets=8)
+    assert 0 < totals_half["docs"] < 100
+
+    totals_rest = run_pipeline(spark, df, output_path=out,
+                               checkpoint_path=ckpt, storage=storage,
+                               num_buckets=8)
+    assert totals_half["docs"] + totals_rest["docs"] == 100
+
+    final = spark.read.parquet(out)
+    assert final.count() == final.select("url").distinct().count()
