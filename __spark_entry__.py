@@ -1,38 +1,607 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline over sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing); oracles are ANSI SQL for DuckDB over
+the same parquet tables.
+
+Float discipline for value-hash parity: double sums go through
+DECIMAL(18,2) (exact, order-independent) in BOTH engines; single IEEE
+divisions are bitwise-identical across engines; ANN queries emit integer
+(id, rank) pairs only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_ocr_batch_ndrocr_lite_spark.operators import (
+    dedup as dd,
+    multimodal as mm,
+    similarity as sim,
+    textstats as ts,
+)
+from pdf_ocr_batch_ndrocr_lite_spark.operators import extract as ex
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Wrap sf0.001 documents as Common-Crawl-style pages and run the full
+    extraction pipeline (name-rule filter → salted repartition → vectorized
+    dispatcher)."""
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+        .alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><nav><a href='/x'>nav</a></nav>"
+                           "<div id='main'><p>"),
+                     F.col("text"), F.lit("</p></div></body></html>")),
+            "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return ex.run_extraction(pages)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q01_pricing_rollup(spark, sf_dir):
+    """A1 conditional-aggregation counters (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .alias("n_returned"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q02_name_rule_filter(spark, sf_dir):
+    """F2 name-rule RLike skip filter (app.py:87,1306-1313) over a corpus
+    column: negative regex filter + per-lang counts."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.filter(~F.col("source").rlike(r"_ocr(_\d{3,})?$"))
+        .filter(F.col("text").rlike(r"\bspark\b"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def _q03_threshold_filter(spark, sf_dir):
+    """F3 text-layer threshold predicate analogue (cumulative chars>=10)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("n_chars") >= 100, 1).otherwise(0))
+            .alias("has_text"),
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+            .alias("needs_ocr"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q04_first_wins_dedup(spark, sf_dir):
+    """A3 first-wins dedup via row_number window (app.py:1705-1725)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def _q05_anti_join_resume(spark, sf_dir):
+    """Checkpoint-resume left-anti join shape (S10/idempotency)."""
+    cust = _read(spark, sf_dir, "customer")
+    big = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def _q06_broadcast_dim_join(spark, sf_dir):
+    """Broadcast dimension join (J2 page-zip analogue): lineitem ⋈ part."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def _q07_corpus_sort(spark, sf_dir):
+    """O1 deterministic corpus ordering: lower(key) sort + limit."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", F.lower(F.col("source")).alias("lsrc"))
+        .orderBy("lsrc", "doc_id")
+        .limit(20)
+    )
+
+
+def _q08_regex_extract(spark, sf_dir):
+    """T9 regex field extraction (page-number pattern analogue) on JSON-ish
+    props."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+        .alias("k_val"),
+    ).orderBy("event_id")
+
+
+def _q09_split_stats(spark, sf_dir):
+    """A8 whitespace split stats: word count, first/last word."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+    ).orderBy("doc_id")
+
+
+def _q10_rollup_lineage(spark, sf_dir):
+    """S9 lineage metrics rollup: 2-level hierarchy via ROLLUP."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum("n_chars").alias("chars"))
+        .orderBy(F.col("lang").asc_nulls_first())
+    )
+
+
+def _q11_dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest (hash-groupBy) on a 40-char prefix."""
+    docs = _read(spark, sf_dir, "documents")
+    pref = docs.select("doc_id",
+                       F.substring(F.col("text"), 1, 40).alias("text"))
+    return dd.exact_duplicates(pref).orderBy("text_md5")
+
+
+def _q12_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 hashes, 3-word shingles) for doc_id < 200."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.minhash_signatures(docs, num_hashes=4, k=3).orderBy("doc_id")
+
+
+def _q13_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs over doc_id < 120."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return (
+        dd.ngram_jaccard_pairs(docs, k=2, threshold=0.05)
+        .select("a_id", "b_id", "n_common",
+                F.round(F.col("jaccard"), 6).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _q14_simhash(spark, sf_dir):
+    """SimHash 64-bit fingerprints (xxhash64 — Spark-only, rows check)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.simhash(docs).orderBy("doc_id")
+
+
+def _query_vec(spark, sf_dir):
+    row = (_read(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") == 0).select("embedding").collect())
+    return [float(v) for v in row[0][0]]
+
+
+def _q15_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec 0 (integer id/rank output)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = sim.brute_force_topk(emb, q, k=10)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)) \
+        .select("vec_id", "rank").orderBy("rank")
+
+
+def _q16_ann_topk_bucket(spark, sf_dir):
+    """Bucketed (IVF-style) top-3 per label vs vec 0."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return sim.topk_per_bucket(emb, q, k=3, bucket_col="label") \
+        .select("label", "vec_id", "rank").orderBy("label", "rank")
+
+
+def _q17_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        ts.lang_id(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _q18_quality_score(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ts.quality_score(docs).orderBy("doc_id")
+
+
+def _q19_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return ts.token_counts(docs).orderBy("doc_id")
+
+
+def _q20_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return ts.fingerprint(docs, window=5).orderBy("doc_id")
+
+
+def _q21_media_summary(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return mm.media_summary(mm.attach_media(docs)).orderBy("kind")
+
+
+def _q22_media_features(spark, sf_dir):
+    """Multimodal decode plumbing (stubbed decode — Spark-only rows check)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = mm.media_features(mm.attach_media(docs))
+    return feats.select("media_id", "kind", "n_bytes", "sha1", "n_frames") \
+        .orderBy("media_id")
+
+
+def _q23_events_window(spark, sf_dir):
+    """Tumbling-hour windowed aggregation (streaming-shape over batch)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                   "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def _q24_extraction_pipeline(spark, sf_dir):
+    """Flagship extraction over documents-as-pages (non-SQL; rows check)."""
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+        .alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><nav><a href='/x'>n</a></nav>"
+                           "<div id='main'><p>"),
+                     F.col("text"), F.lit("</p></div></body></html>")),
+            "utf-8").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    res = ex.run_extraction(pages)
+    return res.select("url", "action", "extracted_text").orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_rollup": _q01_pricing_rollup,
+        "q02_name_rule_filter": _q02_name_rule_filter,
+        "q03_threshold_filter": _q03_threshold_filter,
+        "q04_first_wins_dedup": _q04_first_wins_dedup,
+        "q05_anti_join_resume": _q05_anti_join_resume,
+        "q06_broadcast_dim_join": _q06_broadcast_dim_join,
+        "q07_corpus_sort": _q07_corpus_sort,
+        "q08_regex_extract": _q08_regex_extract,
+        "q09_split_stats": _q09_split_stats,
+        "q10_rollup_lineage": _q10_rollup_lineage,
+        "q11_dedup_exact": _q11_dedup_exact,
+        "q12_minhash_signatures": _q12_minhash_signatures,
+        "q13_jaccard_pairs": _q13_jaccard_pairs,
+        "q14_simhash": _q14_simhash,
+        "q15_ann_topk": _q15_ann_topk,
+        "q16_ann_topk_bucket": _q16_ann_topk_bucket,
+        "q17_lang_id": _q17_lang_id,
+        "q18_quality_score": _q18_quality_score,
+        "q19_token_counts": _q19_token_counts,
+        "q20_fingerprint": _q20_fingerprint,
+        "q21_media_summary": _q21_media_summary,
+        "q22_media_features": _q22_media_features,
+        "q23_events_window": _q23_events_window,
+        "q24_extraction_pipeline": _q24_extraction_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles.  Shingle machinery shared by q12/q13/q20.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents {where}
+),
+starts AS (
+    SELECT doc_id, ws,
+           unnest(range(1, greatest(len(ws) - {km1}, 1) + 1)) AS i
+    FROM words
+),
+sh AS (
+    SELECT doc_id, array_to_string(ws[i : i + {km1}], ' ') AS shingle
+    FROM starts
+)
+"""
+
+
+def _shingle_cte(where: str, k: int) -> str:
+    return _SHINGLE_CTE.format(where=where, km1=k - 1)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS n_returned
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_name_rule_filter": r"""
+            SELECT lang, COUNT(*) AS n_docs
+            FROM documents
+            WHERE NOT regexp_matches(source, '_ocr(_\d{3,})?$')
+              AND regexp_matches(text, '\bspark\b')
+            GROUP BY lang ORDER BY lang
+        """,
+        "q03_threshold_filter": """
+            SELECT lang, COUNT(*) AS total,
+                   SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS has_text,
+                   SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS needs_ocr
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q04_first_wins_dedup": """
+            SELECT user_id, event_type, event_id FROM (
+                SELECT user_id, event_type, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        "q05_anti_join_resume": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "q06_broadcast_dim_join": """
+            SELECT p_brand, COUNT(*) AS n_items,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q07_corpus_sort": """
+            SELECT doc_id, source, lower(source) AS lsrc
+            FROM documents ORDER BY lsrc, doc_id LIMIT 20
+        """,
+        "q08_regex_extract": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)
+                       AS k_val
+            FROM events ORDER BY event_id
+        """,
+        "q09_split_stats": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id, len(ws) AS n_words,
+                   ws[1] AS first_word, ws[len(ws)] AS last_word
+            FROM w ORDER BY doc_id
+        """,
+        "q10_rollup_lineage": """
+            SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
+            FROM documents GROUP BY ROLLUP(lang)
+            ORDER BY lang ASC NULLS FIRST
+        """,
+        "q11_dedup_exact": """
+            SELECT md5(substring(text, 1, 40)) AS text_md5,
+                   COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5
+        """,
+        "q12_minhash_signatures": "WITH " + _shingle_cte(
+            "WHERE doc_id < 200", 3) + """
+            SELECT doc_id,
+                   MIN(md5('0:' || shingle)) AS h0,
+                   MIN(md5('1:' || shingle)) AS h1,
+                   MIN(md5('2:' || shingle)) AS h2,
+                   MIN(md5('3:' || shingle)) AS h3
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q13_jaccard_pairs": "WITH " + _shingle_cte(
+            "WHERE doc_id < 120", 2) + """,
+            dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       COUNT(*) AS n_common
+                FROM dsh a JOIN dsh b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.a_id, i.b_id, i.n_common,
+                   ROUND(CAST(i.n_common AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE CAST(i.n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - i.n_common) >= 0.05
+            ORDER BY a_id, b_id
+        """,
+        "q15_ann_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding::DOUBLE[], q.qv)
+                           AS cosine
+                FROM embeddings, q
+            )
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q16_ann_topk_bucket": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            scored AS (
+                SELECT e.label, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                           AS cosine
+                FROM embeddings e, q
+            )
+            SELECT label, vec_id, rank FROM (
+                SELECT label, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY label
+                                          ORDER BY cosine DESC, vec_id)
+                           AS rank
+                FROM scored
+            ) WHERE rank <= 3 ORDER BY label, rank
+        """,
+        "q17_lang_id": r"""
+            WITH feats AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]')) AS cjk,
+                       length(text) AS n,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|in|is|for)\b')) AS en_n,
+                       len(regexp_extract_all(lower(text),
+                           '\b(der|die|und|das|ist|nicht|ein)\b')) AS de_n,
+                       len(regexp_extract_all(lower(text),
+                           '\b(el|la|de|que|y|los|para)\b')) AS es_n
+                FROM documents
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN cjk * 4 >= n THEN 'cjk'
+                            WHEN greatest(en_n, de_n, es_n) = 0 THEN 'unknown'
+                            WHEN en_n >= de_n AND en_n >= es_n THEN 'en'
+                            WHEN de_n >= es_n THEN 'de'
+                            ELSE 'es' END AS lang_pred
+                FROM feats
+            )
+            SELECT lang_pred, COUNT(*) AS n FROM pred
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "q18_quality_score": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars_obs,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n_words,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|in|is|for)\b')) AS n_stop
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id, n_chars_obs, n_words,
+                   CASE WHEN n_chars_obs > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars_obs
+                        ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_words > 0
+                        THEN CAST(n_stop AS DOUBLE) / n_words
+                        ELSE 0.0 END AS stopword_ratio,
+                   ROUND(
+                     least(n_words / 100.0, 1.0) * 0.4
+                     + least(CASE WHEN n_words > 0
+                                  THEN CAST(n_stop AS DOUBLE) / n_words
+                                  ELSE 0.0 END * 5.0, 1.0) * 0.4
+                     + CASE WHEN n_words > 0
+                                 AND CAST(n_chars_obs AS DOUBLE)/n_words >= 3
+                                 AND CAST(n_chars_obs AS DOUBLE)/n_words <= 12
+                            THEN 0.2 ELSE 0.0 END, 6) AS quality
+            FROM f ORDER BY doc_id
+        """,
+        "q19_token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q20_fingerprint": "WITH " + _shingle_cte("", 5) + """
+            SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q21_media_summary": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   COUNT(*) AS n_items,
+                   SUM(octet_length(encode(text))) AS total_bytes,
+                   SUM(length(text) * 10) AS total_duration_ms
+            FROM documents GROUP BY 1 ORDER BY kind
+        """,
+        "q23_events_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        # q14_simhash: xxhash64 not available in DuckDB — rows-only check
+        # q22_media_features: stubbed sha1 decode — rows-only check
+        # q24_extraction_pipeline: full UDF pipeline — rows-only check
+    }

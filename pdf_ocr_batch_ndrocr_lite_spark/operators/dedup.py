@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All-declarative where possible (JVM-side, whole-stage codegen); hashing uses
+md5-hex substrings so every signature is reproducible in ANSI SQL (DuckDB
+oracle parity).  Scale notes per operator below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy.  One shuffle on the digest; partial aggregation
+# (map-side combine) makes the shuffle rows tiny.  At 100 TB the digest
+# shuffle is ~32B/row — bounded by row count, not payload.
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, dup_count, keep_id)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """First-wins exact dedup: keep the lowest id per digest (the reference's
+    first-occurrence-wins dedup semantics, app.py:1705-1725, lifted to
+    corpus scale)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-shingle helpers.  shingles(text, k): array of k-word shingles.
+# Declarative: split → filter empties → sequence+transform (no UDF).
+# ---------------------------------------------------------------------------
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(text_col: str, k: int = 3):
+    """array<string> of k-word shingles (space-joined), JVM-side only."""
+    words = _words(text_col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup.
+#
+# Signature: for hash seed s, minhash_s(doc) = min over shingles of
+# md5(s || ':' || shingle) — an order-preserving proxy for a random
+# permutation; min of a hex string is deterministic and engine-portable.
+# Bands of r contiguous signature values hash to buckets; docs sharing a
+# bucket are candidates.  Shuffles: one explode+groupBy(doc) for signatures
+# (map-side combinable mins), one groupBy(band, key) for buckets.  Candidate
+# volume, not corpus size, drives the pair join — the standard LSH scale
+# path.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8,
+                       k: int = 3) -> DataFrame:
+    """(id, h0..h{n-1}) min-hash signature columns."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col, k)).alias("shingle"),
+    ).dropDuplicates([id_col, "shingle"])
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 8,
+                           bands: int = 4, k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (a_id < b_id, band) via banded LSH."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"),
+                F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard similarity for candidate verification (or small-scale
+# all-pairs).  Declarative set ops over shingle arrays.
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Exploded-intersection formulation: |A∩B| via groupBy(shingle) self-pairs,
+    |A∪B| = |A|+|B|-|A∩B|.  One explode + one groupBy — no quadratic cross
+    join; rare shingles dominate cost, as in standard similarity-join
+    practice.  At 100 TB you'd pre-filter shingles by document frequency.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("shingle")
+    ).dropDuplicates([id_col, "shingle"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"),
+                 F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("a_n") + F.col("b_n") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit weighted-majority fingerprint.  Per-word hash from
+# xxhash64 (JVM); bit-majority via explode over bit positions — fully
+# declarative, one groupBy(doc).  Hamming-near pairs join on rotated
+# prefixes in practice; here we expose the fingerprint and an exact-band
+# grouping.
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash bigint).  Majority vote per bit over word hashes."""
+    words = docs.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("word")
+    ).withColumn("wh", F.xxhash64("word"))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = words.select(
+        id_col,
+        F.explode(bit_idx).alias("bit"),
+        F.col("wh"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(wh, bit) & 1L) = 1"), F.lit(1))
+        .otherwise(F.lit(-1)),
+    )
+    bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup: pairs with cosine ≥ threshold among LSH-ish
+# coarse buckets (label column or norm-bucket).  Vector math via
+# F.aggregate/zip_with — JVM-side, no Python.
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bucket_col: str = "label",
+                             threshold: float = 0.95) -> DataFrame:
+    """Cosine-similar pairs within coarse buckets (IVF-style: only same-bucket
+    pairs compared — the 100 TB path replaces `bucket_col` with a learned
+    coarse quantizer; the join shape is identical)."""
+    base = emb.select(
+        F.col(id_col), F.col(bucket_col).alias("_bk"),
+        F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, F.col("a._bk") == F.col("b._bk"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._n") * F.col("b._n")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("a_id"),
+                F.col(f"b.{id_col}").alias("b_id"), "cosine")
+    )

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side mechanics — schema, Arrow batch shape, partitioning, UDF
+signatures — are real and tested; the actual media decode is STUBBED behind
+deterministic fakes because the image/audio codecs are not in this container
+(marked DECODE STUB below).  Swapping the stub for Pillow/ffmpeg-backed
+decode changes no Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, sha1 string, "
+    "feature array<float>, n_frames int"
+)
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Derive a media table from a text corpus for plumbing tests: payload =
+    utf-8 bytes of the text (deterministic fake media), typed metadata
+    columns as a real ingest would carry."""
+    return docs.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col(id_col) % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit(640).alias("width"),
+        F.lit(480).alias("height"),
+        (F.length(F.col(text_col)) * 10).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_decode_features(payload: bytes, kind: str, dim: int = 8):
+    """DECODE STUB — deterministic stand-in for image decode / resize /
+    frame-sample / audio feature extraction.  Real implementation would
+    decode `payload` with the appropriate codec; here features derive from
+    the sha1 digest so tests are stable."""
+    digest = hashlib.sha1(payload or b"").digest()
+    feats = [((digest[i] / 255.0) * 2.0 - 1.0) for i in range(dim)]
+    n_frames = 1 if kind == "image" else 1 + digest[0] % 16
+    return digest.hex(), feats, n_frames
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Vectorized feature extraction over binary media: one mapInPandas
+    stage, Arrow-batched; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so giant payloads never
+    blow executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                raw = bytes(payload or b"")
+                sha, feats, n_frames = _fake_decode_features(raw, kind)
+                out.append({
+                    "media_id": mid, "kind": kind, "n_bytes": len(raw),
+                    "sha1": sha, "feature": feats, "n_frames": n_frames,
+                })
+            yield pd.DataFrame(out, columns=["media_id", "kind", "n_bytes",
+                                             "sha1", "feature", "n_frames"])
+
+    return media.select("media_id", "kind", "payload") \
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Typed-metadata rollup (no decode): per kind, count / bytes /
+    duration.  Pure relational — the common 'inventory' query over a
+    multimodal lake."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length(F.col("payload"))).cast("bigint").alias("total_bytes"),
+        F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+    )

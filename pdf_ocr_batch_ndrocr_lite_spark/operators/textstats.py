@@ -1,0 +1,112 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything is built from pyspark.sql.functions (JVM-side, whole-stage
+codegen) so each operator has an exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word lists for the n-gram/stopword language heuristic.  Tiny by
+# design: they broadcast as literals inside the regex, no dimension table.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "para"],
+}
+
+
+def _sql_pat(pat: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal (Spark
+    unescapes backslashes in '...' literals; DuckDB does not)."""
+    return pat.replace("\\", "\\\\")
+
+
+def _marker_count(text_col, words):
+    pat = _sql_pat(r"\b(" + "|".join(words) + r")\b")
+    # size(regexp_extract_all(...)) — supported by Spark and DuckDB alike;
+    # explicit group 0 (Spark defaults to 1, DuckDB to 0).
+    return F.size(F.expr(
+        f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK script ratio first, else the marker-word
+    class with the highest hit count (ties resolve by fixed order en>de>es;
+    no hits → 'unknown')."""
+    cjk_hits = F.size(F.expr(
+        f"regexp_extract_all({text_col}, "
+        f"'[\\\\x{{3040}}-\\\\x{{30FF}}\\\\x{{4E00}}-\\\\x{{9FFF}}]', 0)"))
+    counts = {lang: _marker_count(text_col, words)
+              for lang, words in _LANG_MARKERS.items()}
+    best = F.lit("unknown")
+    best_n = F.lit(0)
+    for lang in ["es", "de", "en"]:  # reverse priority; later wins ties
+        n = counts[lang]
+        best = F.when(n >= best_n, F.lit(lang)).otherwise(best)
+        best_n = F.greatest(n, best_n)
+    pred = F.when(cjk_hits * 4 >= F.length(F.col(text_col)), F.lit("cjk")) \
+        .otherwise(F.when(best_n > 0, best).otherwise(F.lit("unknown")))
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + composite
+    score in [0,1].  Pure column arithmetic."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    n_punct = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '[.,;:!?]', 0)"))
+    n_stop = _marker_count(text_col, _LANG_MARKERS["en"])
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.2))
+        .otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_obs"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword count (runs of letters,
+    digits, or single non-space symbols — an upper-bound proxy for tokenizer
+    load, computable engine-side at full scan speed)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    bpe = F.size(F.expr(
+        f"regexp_extract_all({text_col}, "
+        f"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+    return docs.select(F.col(id_col), ws.alias("ws_tokens"),
+                       bpe.alias("bpe_tokens"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", window: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    `window`-word shingles — stable under content reordering at the margins,
+    portable to SQL, and usable as a near-dup blocking key."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
+    sh = F.when(n < window, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(idx,
+                    lambda i: F.array_join(F.slice(words, i + 1, window), " ")))
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
