@@ -1,0 +1,92 @@
+"""spark-submit entry point for the extraction job.
+
+Packaging (north star): zip the package and submit —
+
+    cd /root/repo && zip -r /tmp/engine.zip pdf_ocr_batch_ndrocr_lite_spark
+    spark-submit --py-files /tmp/engine.zip \
+        -m pdf_ocr_batch_ndrocr_lite_spark.jobs \
+        --input s3://bucket/pages_iceberg --output out_table \
+        --checkpoint ckpt_table --iceberg
+
+or locally:
+
+    python -m pdf_ocr_batch_ndrocr_lite_spark.jobs \
+        --synthetic-docs 2000 --output /tmp/out --checkpoint /tmp/ckpt
+
+Replaces the reference's GUI "start" entry (`OCRBatchApp.on_start`,
+/root/reference/app.py:3663-3727): CLI args -> immutable job config ->
+declarative plan -> single vectorized extraction stage -> sinks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="PySpark document extraction job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages table: parquet path or Iceberg "
+                                     "table name (with --iceberg)")
+    src.add_argument("--synthetic-docs", type=int,
+                     help="generate N deterministic synthetic docs instead "
+                          "of reading an input table")
+    p.add_argument("--output", required=True,
+                   help="extractions sink (parquet path / Iceberg table)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint/lineage table; enables resume")
+    p.add_argument("--iceberg", action="store_true",
+                   help="treat --input/--output/--checkpoint as Iceberg "
+                        "table names (needs Iceberg runtime jars + catalog)")
+    p.add_argument("--master", default=None,
+                   help="override master (default: from spark-submit)")
+    p.add_argument("--num-buckets", type=int, default=256,
+                   help="checkpoint partition-key buckets")
+    p.add_argument("--num-partitions", type=int, default=0,
+                   help="extraction-stage partitions (0 = shuffle default)")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from .plans.pipeline import build_session, run_pipeline
+    from .sources.corpus import corpus_df
+    from .sources.storage import StorageAdapter
+
+    if args.master:
+        spark = build_session(app_name="pdf-extract", master=args.master)
+    else:
+        # under spark-submit the session config comes from the launcher
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.appName("pdf-extract").getOrCreate()
+
+    storage = StorageAdapter(use_iceberg=args.iceberg)
+    if args.synthetic_docs:
+        pages = corpus_df(spark, args.synthetic_docs, seed=args.seed)
+    elif args.iceberg:
+        pages = spark.read.table(args.input)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    t0 = time.perf_counter()
+    totals = run_pipeline(
+        spark, pages,
+        output_path=args.output,
+        checkpoint_path=args.checkpoint,
+        storage=storage,
+        num_buckets=args.num_buckets,
+        num_partitions=args.num_partitions,
+    )
+    totals["seconds"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(totals))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
