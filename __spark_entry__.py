@@ -320,6 +320,68 @@ def _q24_extraction_pipeline(spark, sf_dir):
     return res.select("url", "action", "extracted_text").orderBy("url")
 
 
+def _q25_priority_merge(spark, sf_dir):
+    """A7 format-priority merge shape: first non-empty wins via COALESCE
+    (JSON > XML > TXT analogue, app.py:1662-1687)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 300, F.col("source"))  # "structured" hit
+    b = F.when(F.col("n_chars") >= 150, F.concat(F.lit("xml:"),
+                                                 F.col("lang")))
+    c = F.lit("txt:fallback")
+    return docs.select(
+        "doc_id",
+        F.coalesce(a, b, c).alias("merged_source"),
+    ).orderBy("doc_id")
+
+
+def _q26_posexplode(spark, sf_dir):
+    """A8 TXT page-splitting shape: split + posexplode with positions
+    (app.py:1790-1823)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    return (
+        docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _q27_sessionization(spark, sf_dir):
+    """Streaming-shaped sessionization over batch: 30-min-gap sessions per
+    user via lag window + running sum."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    with_new = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = with_new.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"))
+        .orderBy("user_id")
+    )
+
+
+def _q28_cube_metrics(spark, sf_dir):
+    """Metrics reporting over CUBE(lang, source) — grouping-set rollups for
+    the lineage dashboard (SURVEY §2.4 'rollup available')."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum("n_chars").alias("chars"))
+        .orderBy(F.col("lang").asc_nulls_first(),
+                 F.col("source").asc_nulls_first())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -346,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_media_features": _q22_media_features,
         "q23_events_window": _q23_events_window,
         "q24_extraction_pipeline": _q24_extraction_pipeline,
+        "q25_priority_merge": _q25_priority_merge,
+        "q26_posexplode": _q26_posexplode,
+        "q27_sessionization": _q27_sessionization,
+        "q28_cube_metrics": _q28_cube_metrics,
     }
 
 
@@ -600,6 +666,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                        AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "q25_priority_merge": """
+            SELECT doc_id,
+                   COALESCE(CASE WHEN n_chars >= 300 THEN source END,
+                            CASE WHEN n_chars >= 150 THEN 'xml:' || lang END,
+                            'txt:fallback') AS merged_source
+            FROM documents ORDER BY doc_id
+        """,
+        "q26_posexplode": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents WHERE doc_id < 50
+            ),
+            e AS (
+                SELECT doc_id, ws,
+                       unnest(range(1, len(ws) + 1)) AS i
+                FROM w
+            )
+            SELECT doc_id, i - 1 AS pos, ws[i] AS word
+            FROM e WHERE i <= 5 ORDER BY doc_id, pos
+        """,
+        "q27_sessionization": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM lagged
+            ),
+            per_session AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   MAX(n_events) AS max_session_events
+            FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        "q28_cube_metrics": """
+            SELECT lang, source, COUNT(*) AS docs, SUM(n_chars) AS chars
+            FROM documents GROUP BY CUBE(lang, source)
+            ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check
         # q22_media_features: stubbed sha1 decode — rows-only check

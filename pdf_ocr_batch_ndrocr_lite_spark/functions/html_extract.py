@@ -127,14 +127,15 @@ def _text_stats(node: HtmlNode) -> tuple:
 
 
 def _score(node: HtmlNode) -> float:
-    """Content score: text density rewarded, link density and excessive
-    depth penalized.  Frozen formula — changing it invalidates goldens."""
+    """Content score: text mass rewarded, link density penalized
+    quadratically (link farms score near zero), mild depth penalty.
+    Frozen formula — changing it invalidates goldens."""
     total, link = _text_stats(node)
     if total == 0:
         return 0.0
     link_density = link / total
     depth_penalty = 1.0 + 0.05 * max(0, node.depth - 2)
-    return total * (1.0 - link_density) / depth_penalty
+    return total * (1.0 - link_density) ** 2 / depth_penalty
 
 
 def _collect_candidates(node: HtmlNode, out: List[HtmlNode]) -> None:
@@ -172,15 +173,20 @@ def extract_main_text(html: str) -> str:
     _collect_candidates(root, candidates)
     if not candidates:
         candidates = [root]
-    best = None
-    best_score = -1.0
-    for cand in candidates:
-        s = _score(cand)
-        if s > best_score:
-            best = cand
-            best_score = s
-    if best is None or best_score <= 0.0:
+    scored = [(_score(c), c) for c in candidates]
+    top = max((s for s, _ in scored), default=0.0)
+    if top <= 0.0:
         return ""
+    # among near-tied candidates (within 5% of the max), prefer the deepest:
+    # a parent container always accumulates at least its child's text, so
+    # ties mean the child holds the actual content.  Ties on depth resolve
+    # by document order (first wins) — deterministic.
+    best = None
+    best_depth = -1
+    for s, cand in scored:
+        if s >= top * 0.95 and cand.depth > best_depth:
+            best = cand
+            best_depth = cand.depth
     parts: List[str] = []
     _serialize(best, parts)
     raw = "".join(parts)
