@@ -382,6 +382,24 @@ def _q28_cube_metrics(spark, sf_dir):
     )
 
 
+def _q29_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within coarse (label) buckets —
+    the IVF-style scale path; integer pair output for exact hashing."""
+    emb = _read(spark, sf_dir, "embeddings")
+    emb = emb.withColumn(
+        "embedding", F.transform(F.col("embedding"),
+                                 lambda x: x.cast("double")))
+    pairs = dd.embedding_near_dup_pairs(emb, threshold=0.35)
+    return pairs.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
+def _q30_lsh_candidates(spark, sf_dir):
+    """MinHash banded-LSH candidate pairs (2 bands x 2 rows, 3-shingles)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.minhash_lsh_candidates(docs, num_hashes=4, bands=2, k=3) \
+        .orderBy("a_id", "b_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -412,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_posexplode": _q26_posexplode,
         "q27_sessionization": _q27_sessionization,
         "q28_cube_metrics": _q28_cube_metrics,
+        "q29_embedding_near_dup": _q29_embedding_near_dup,
+        "q30_lsh_candidates": _q30_lsh_candidates,
     }
 
 
@@ -718,6 +738,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, COUNT(*) AS docs, SUM(n_chars) AS chars
             FROM documents GROUP BY CUBE(lang, source)
             ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+        """,
+        "q29_embedding_near_dup": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY a_id, b_id
+        """,
+        "q30_lsh_candidates": "WITH " + _shingle_cte(
+            "WHERE doc_id < 200", 3) + """,
+            sig AS (
+                SELECT doc_id,
+                       MIN(md5('0:' || shingle)) AS h0,
+                       MIN(md5('1:' || shingle)) AS h1,
+                       MIN(md5('2:' || shingle)) AS h2,
+                       MIN(md5('3:' || shingle)) AS h3
+                FROM sh GROUP BY doc_id
+            ),
+            buckets AS (
+                SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, h2 || '|' || h3 AS key FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key
+            WHERE a.doc_id < b.doc_id
+            ORDER BY a_id, b_id
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check
         # q22_media_features: stubbed sha1 decode — rows-only check

@@ -86,7 +86,10 @@ def bench_queries(spark):
 
 
 def main() -> None:
-    scaling = "--scaling" in sys.argv
+    # scaling evidence is part of the default output (BENCH_r{N}.json must
+    # carry the north-rule N->4N numbers); skip with --no-scaling when
+    # iterating locally
+    scaling = "--no-scaling" not in sys.argv
     n_docs = max(200, int(200_000 * SF))
 
     spark = build(f"local[{CPUS}]", CPUS)

@@ -80,6 +80,54 @@ def media_features(media: DataFrame) -> DataFrame:
         .mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = ("media_id bigint, frame_index int, ts_ms int, "
+                "width int, height int, frame binary")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Frame sampling + resize plumbing: one output row per sampled frame
+    (UDTF-shaped fan-out, like the PDF page explode).
+
+    DECODE STUB — a real implementation decodes `payload` with a video
+    codec and resizes each frame; the fake derives deterministic frame
+    bytes from (payload sha1, index) so the Spark-side shape — fan-out
+    cardinality, Arrow batch sizes, schema — is fully exercised.  Frame
+    fan-out multiplies row counts ~10-100x, so this stage deliberately
+    runs AFTER any filtering and its output should never be cached whole.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, kind, payload, duration in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["duration_ms"]):
+                raw = bytes(payload or b"")
+                digest = hashlib.sha1(raw).digest()
+                if kind == "image":
+                    n_frames = 1
+                else:
+                    n_frames = max(1, int(duration or 0) // every_ms)
+                n_frames = min(n_frames, 64)  # page-count-style budget
+                for i in range(n_frames):
+                    fake = hashlib.sha1(digest + i.to_bytes(4, "big")).digest()
+                    out.append({
+                        "media_id": mid, "frame_index": i,
+                        "ts_ms": i * every_ms,
+                        "width": target_w, "height": target_h,
+                        "frame": fake,  # stand-in for resized RGB bytes
+                    })
+            yield pd.DataFrame(out, columns=["media_id", "frame_index",
+                                             "ts_ms", "width", "height",
+                                             "frame"])
+
+    return media.select("media_id", "kind", "payload", "duration_ms") \
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup (no decode): per kind, count / bytes /
     duration.  Pure relational — the common 'inventory' query over a
