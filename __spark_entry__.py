@@ -211,10 +211,11 @@ def _q12_minhash_signatures(spark, sf_dir):
 def _q13_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup pairs over doc_id < 120."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # raw double: single IEEE division of the same ints is bitwise-identical
+    # across engines, unlike round(double) whose algorithm differs
     return (
         dd.ngram_jaccard_pairs(docs, k=2, threshold=0.05)
-        .select("a_id", "b_id", "n_common",
-                F.round(F.col("jaccard"), 6).alias("jaccard"))
+        .select("a_id", "b_id", "n_common", "jaccard")
         .orderBy("a_id", "b_id")
     )
 
@@ -565,8 +566,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.doc_id, b.doc_id
             )
             SELECT i.a_id, i.b_id, i.n_common,
-                   ROUND(CAST(i.n_common AS DOUBLE)
-                         / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+                   CAST(i.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.a_id
             JOIN sizes sb ON sb.doc_id = i.b_id
@@ -648,15 +649,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_words > 0
                         THEN CAST(n_stop AS DOUBLE) / n_words
                         ELSE 0.0 END AS stopword_ratio,
-                   ROUND(
-                     least(n_words / 100.0, 1.0) * 0.4
+                   least(n_words / 100.0, 1.0) * 0.4
                      + least(CASE WHEN n_words > 0
                                   THEN CAST(n_stop AS DOUBLE) / n_words
                                   ELSE 0.0 END * 5.0, 1.0) * 0.4
                      + CASE WHEN n_words > 0
                                  AND CAST(n_chars_obs AS DOUBLE)/n_words >= 3
                                  AND CAST(n_chars_obs AS DOUBLE)/n_words <= 12
-                            THEN 0.2 ELSE 0.0 END, 6) AS quality
+                            THEN 0.2 ELSE 0.0 END AS quality
             FROM f ORDER BY doc_id
         """,
         "q19_token_counts": r"""

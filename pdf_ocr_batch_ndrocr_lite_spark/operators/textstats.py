@@ -79,7 +79,10 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         n_words.alias("n_words"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+        # raw double, no round(): every term is the same IEEE op sequence in
+        # the SQL oracle, so the unrounded value is bitwise-identical across
+        # engines — round(double) is not (HALF_UP BigDecimal vs libm)
+        score.alias("quality"),
     )
 
 

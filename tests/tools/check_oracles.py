@@ -27,7 +27,7 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
+        return repr(v)  # full precision: catches ulp-level engine drift
     return str(v)
 
 
