@@ -1,0 +1,83 @@
+"""Similarity-search operators: brute-force baseline vs bucketed/LSH paths."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _query(spark):
+    row = _emb(spark).filter(F.col("vec_id") == 0).collect()[0]
+    return [float(v) for v in row["embedding"]]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    q = _query(spark)
+    rows = _emb(spark).collect()
+    qn = math.sqrt(sum(v * v for v in q))
+
+    def cos(vec):
+        d = sum(float(a) * float(b) for a, b in zip(vec, q))
+        n = math.sqrt(sum(float(a) * float(a) for a in vec))
+        return d / (n * qn)
+
+    expected = sorted(((cos(r["embedding"]), r["vec_id"]) for r in rows),
+                      key=lambda t: (-t[0], t[1]))[:10]
+    got = sim.brute_force_topk(_emb(spark), q, k=10).collect()
+    assert [r["vec_id"] for r in got] == [v for _, v in expected]
+    for r, (c, _) in zip(got, expected):
+        assert abs(r["cosine"] - c) < 1e-6  # float32 storage noise
+    assert got[0]["vec_id"] == 0  # the query vector itself ranks first
+
+
+def test_topk_per_bucket_covers_every_bucket(spark):
+    q = _query(spark)
+    out = sim.topk_per_bucket(_emb(spark), q, k=3).collect()
+    labels = {r["label"] for r in _emb(spark).select("label").collect()}
+    per = {}
+    for r in out:
+        per.setdefault(r["label"], []).append(r["rank"])
+    assert set(per) == labels
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def _planes(dim, n, seed=7):
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def test_hyperplane_buckets_deterministic_and_partitioning(spark):
+    planes = _planes(64, 4)
+    b1 = {r["vec_id"]: r["bucket"]
+          for r in sim.random_hyperplane_buckets(_emb(spark), planes).collect()}
+    b2 = {r["vec_id"]: r["bucket"]
+          for r in sim.random_hyperplane_buckets(
+              _emb(spark).repartition(5), planes).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())
+    assert len(set(b1.values())) > 1  # actually partitions the space
+
+
+def test_lsh_topk_subset_of_bucket_and_finds_query(spark):
+    q = _query(spark)
+    planes = _planes(64, 3)
+    got = sim.lsh_topk(_emb(spark), q, planes, k=5).collect()
+    assert got, "query bucket must not be empty (contains vec 0 itself)"
+    assert got[0]["vec_id"] == 0
+    # every hit lives in the query's bucket
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in sim.random_hyperplane_buckets(
+                   _emb(spark), planes).collect()}
+    qb = buckets[0]
+    assert all(buckets[r["vec_id"]] == qb for r in got)
