@@ -27,6 +27,7 @@ NORM = _load("normalization.json")
 TOKENS = _load("tokens.json")
 WRAP = _load("wrap.json")
 DOCS = _load("documents.json")
+HTML_DOCS = _load("html_documents.json")
 
 
 @pytest.mark.parametrize("s", sorted(NORM))
@@ -97,3 +98,14 @@ def test_document_extraction_parity(idx):
     assert out["token_count"] == golden["token_count"]
     assert out["block_count"] == golden["block_count"]
     assert (out["action"] == E.ACTION_EXTRACTED) == golden["has_any"]
+
+
+@pytest.mark.parametrize("idx", sorted(HTML_DOCS, key=int))
+def test_html_extraction_frozen(idx):
+    """HTML path regression pin: our extractor's committed outputs (the
+    reference has no HTML route; this freezes the self-defined spec)."""
+    golden = HTML_DOCS[idx]
+    row = corpus.make_row(42, int(idx))
+    assert row["url"] == golden["url"]
+    out = E.extract_html_document(bytes(row["html"]))
+    assert out["extracted_text"] == golden["extracted_text"]

@@ -205,20 +205,64 @@ def reference_extract_document(ref, envelope: dict, tmp: Path) -> dict:
 
 
 def gen_document_goldens(ref, n_docs: int = 400, seed: int = 42) -> dict:
-    """Goldens for every PDF row among corpus indices [0, n_docs)."""
+    """Goldens for every PDF row among corpus indices [0, n_docs), plus the
+    first few giant (200-500 page) documents found beyond that range — the
+    skew tail must be byte-verified too."""
     out = {}
-    for i in range(n_docs):
+    giants = 0
+    i = 0
+    while i < n_docs or giants < 5:
+        if i >= n_docs * 20:  # safety stop
+            break
         row = corpus.make_row(seed, i)
         head = bytes(row["html"][:64]).lstrip()
         if not head.startswith(b'{"kind"'):
+            i += 1
             continue
         envelope = json.loads(row["html"].decode("utf-8"))
-        if envelope.get("encrypted") or len(envelope["pages"]) > 60:
-            continue  # failure path / keep fixture size bounded
+        n_pages = len(envelope["pages"])
+        if envelope.get("encrypted"):
+            i += 1
+            continue
+        is_giant = n_pages >= 100
+        if i < n_docs and n_pages > 60 and not is_giant:
+            i += 1
+            continue
+        if i >= n_docs and not is_giant:
+            i += 1
+            continue
+        if is_giant:
+            if giants >= 5:
+                i += 1
+                continue
+            giants += 1
         with tempfile.TemporaryDirectory() as td:
             golden = reference_extract_document(ref, envelope, Path(td))
         golden["url"] = row["url"]
         out[str(i)] = golden
+        i += 1
+    return out
+
+
+def gen_html_goldens(n_docs: int = 400, seed: int = 42) -> dict:
+    """Frozen outputs of OUR html extractor (the reference has no HTML path;
+    these goldens pin the self-defined spec against regressions)."""
+    import sys as _sys
+    _sys.path.insert(0, str(REPO))
+    from pdf_ocr_batch_ndrocr_lite_spark.functions.html_extract import (
+        extract_main_text,
+    )
+    out = {}
+    for i in range(n_docs):
+        row = corpus.make_row(seed, i)
+        head = bytes(row["html"][:64]).lstrip()
+        if head.startswith(b'{"kind"'):
+            continue
+        out[str(i)] = {
+            "url": row["url"],
+            "extracted_text": extract_main_text(
+                row["html"].decode("utf-8", errors="replace")),
+        }
     return out
 
 
@@ -237,8 +281,12 @@ def main() -> None:
     docs = gen_document_goldens(ref)
     (FIXTURES / "documents.json").write_text(
         json.dumps(docs, ensure_ascii=False, indent=1), encoding="utf-8")
+    html_docs = gen_html_goldens()
+    (FIXTURES / "html_documents.json").write_text(
+        json.dumps(html_docs, ensure_ascii=False, indent=1), encoding="utf-8")
     print(f"wrote fixtures: {len(NORMALIZATION_INPUTS)} strings, "
-          f"{len(token_cases())} token cases, {len(docs)} documents")
+          f"{len(token_cases())} token cases, {len(docs)} documents, "
+          f"{len(html_docs)} html documents")
 
 
 if __name__ == "__main__":
