@@ -148,6 +148,22 @@ def _encode_json_ndlocr(pages_tokens: List[List[Dict]], name: str) -> Dict:
                                   ensure_ascii=False)}
 
 
+def _encode_json_ndlocr_per_page(pages_tokens: List[List[Dict]]
+                                 ) -> List[Dict]:
+    """One NDLOCR JSON per page: contents==1 + imginfo img_name routing
+    (app.py:1875-1885)."""
+    outs = []
+    for idx, toks in enumerate(pages_tokens):
+        payload = {"contents": [[{"boundingBox": [t["x1"], t["y1"],
+                                                  t["x2"], t["y2"]],
+                                  "text": t["text"]} for t in toks]],
+                   "imginfo": {"img_name": f"page_{idx + 1:04d}.png"}}
+        outs.append({"format": "json",
+                     "name": f"page_{idx + 1:04d}.png.json",
+                     "payload": json.dumps(payload, ensure_ascii=False)})
+    return outs
+
+
 def _encode_json_generic(rng: random.Random, pages_tokens: List[List[Dict]],
                          name: str, one_based: bool) -> Dict:
     records = []
@@ -219,10 +235,12 @@ def _make_ocr_outputs(rng: random.Random, pages_tokens: List[List[Dict]]
     """Pick an encoding variant; some docs get redundant multi-format output
     to exercise the only-empty-pages priority merge (app.py:1662-1687)."""
     n = len(pages_tokens)
-    variant = rng.randrange(8)
+    variant = rng.randrange(9)
     outs: List[Dict] = []
     if variant == 0:
         outs.append(_encode_json_ndlocr(pages_tokens, "result.json"))
+    elif variant == 8 and n <= 30:
+        outs.extend(_encode_json_ndlocr_per_page(pages_tokens))
     elif variant == 1:
         outs.append(_encode_json_generic(rng, pages_tokens, "tokens.json",
                                          one_based=False))
