@@ -14,7 +14,15 @@ divisions are bitwise-identical across engines; ANN queries emit integer
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust to the
+# caller's cwd / import mechanism
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
