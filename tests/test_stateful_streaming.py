@@ -1,0 +1,57 @@
+"""Stateful streaming url dedup: state survives micro-batches AND restarts."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pdf_ocr_batch_ndrocr_lite_spark.sources.corpus import make_row
+from pdf_ocr_batch_ndrocr_lite_spark.streaming.extract_stream import (
+    PAGES_SCHEMA,
+)
+from pdf_ocr_batch_ndrocr_lite_spark.streaming.stateful import (
+    dedup_urls_stateful,
+)
+
+
+def _land(spark, path, idxs):
+    pdf = pd.DataFrame([make_row(42, i) for i in idxs])
+    spark.createDataFrame(pdf).write.mode("append").parquet(path)
+
+
+def _run_once(spark, inp, out, ckpt):
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 4).parquet(inp))
+    deduped = dedup_urls_stateful(stream, num_buckets=8)
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+
+
+def test_stateful_dedup_across_restarts(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(spark, inp, range(0, 40))
+    _run_once(spark, inp, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 40
+
+    # second wave OVERLAPS the first (20-59): the 20 repeats must be dropped
+    # even though they arrive in new files, in a NEW run (state restored
+    # from the streaming checkpoint)
+    _land(spark, inp, range(20, 60))
+    _run_once(spark, inp, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 60
+    assert final.select("url").distinct().count() == 60
+
+    # third wave: pure repeats → nothing new lands
+    _land(spark, inp, range(0, 60))
+    _run_once(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 60
