@@ -137,15 +137,34 @@ _OUT_COLS = ["url", "lang", "doc_kind", "action", "extracted_text",
              "low_coverage", "bytes_in", "seconds"]
 
 
+def _skip_name_row(url: str, lang: str, bytes_len: int) -> Dict[str, Any]:
+    return {"url": url, "lang": lang, "doc_kind": "unknown",
+            "action": ACTION_SKIP_NAME, "extracted_text": "",
+            "page_count": 0, "token_count": 0, "block_count": 0,
+            "parse_warnings": 0, "low_coverage": 0,
+            "bytes_in": int(bytes_len or 0), "seconds": 0.0}
+
+
 def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: one output row per input document row."""
+    """mapInPandas body: one output row per input document row.
+
+    Rows pre-flagged ``skip_name`` (the Catalyst RLike predicate evaluated
+    them during the single input scan) pass through without touching the
+    payload — their ``html`` was already nulled before the shuffle."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        rows = [
-            extract_one(u, h, l)
-            for u, h, l in zip(pdf["url"], pdf["html"], pdf["lang"])
-        ]
+        has_flags = "skip_name" in pdf.columns
+        rows = []
+        for i in range(len(pdf)):
+            if has_flags and pdf["skip_name"].iat[i]:
+                rows.append(_skip_name_row(pdf["url"].iat[i],
+                                           pdf["lang"].iat[i],
+                                           pdf["bytes_len"].iat[i]))
+            else:
+                rows.append(extract_one(pdf["url"].iat[i],
+                                        pdf["html"].iat[i],
+                                        pdf["lang"].iat[i]))
         yield pd.DataFrame(rows, columns=_OUT_COLS)
 
 
@@ -184,34 +203,23 @@ def salted_repartition(df: DataFrame, num_partitions: int = 0) -> DataFrame:
 
 
 def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
-    """name-rule filter (Catalyst RLike, no UDF) → size-bucketed salted
-    repartition → one vectorized extraction stage.
+    """Single-pass plan: one input scan, one salted exchange, one vectorized
+    extraction stage.
 
-    Returns the extraction result DataFrame; skip_name rows are re-unioned as
-    action rows so lineage counters see every input document.
+    The name-rule skip predicate (app.py:87, 1306-1313) is evaluated as a
+    Catalyst RLike COLUMN during the scan rather than as a branch filter —
+    a filter+union formulation would scan the input twice, which at 100 TB
+    is a second full pass over the lake.  Skip rows keep their byte count
+    for lineage but shed their payload before the shuffle (no reason to
+    move bytes we will not parse).
     """
-    skip_name = (
-        pages_df.filter(F.col("url").rlike(GENERATED_NAME_PATTERN))
-        .select(
-            "url", "lang",
-            F.lit("unknown").alias("doc_kind"),
-            F.lit(ACTION_SKIP_NAME).alias("action"),
-            F.lit("").alias("extracted_text"),
-            F.lit(0).alias("page_count"),
-            F.lit(0).alias("token_count"),
-            F.lit(0).alias("block_count"),
-            F.lit(0).alias("parse_warnings"),
-            F.lit(0).alias("low_coverage"),
-            F.length(F.col("html")).cast("bigint").alias("bytes_in"),
-            F.lit(0.0).alias("seconds"),
-        )
+    flagged = pages_df.select(
+        "url", "lang",
+        F.col("url").rlike(GENERATED_NAME_PATTERN).alias("skip_name"),
+        F.length(F.col("html")).cast("bigint").alias("bytes_len"),
+        F.when(F.col("url").rlike(GENERATED_NAME_PATTERN),
+               F.lit(b"")).otherwise(F.col("html")).alias("html"),
     )
-    todo = pages_df.filter(~F.col("url").rlike(GENERATED_NAME_PATTERN))
-    # project to the dispatcher's inputs BEFORE the shuffle: warc_ts/text and
-    # any derived columns would otherwise ride the exchange for nothing
-    # (column pruning through a repartition is our job, not Catalyst's)
-    todo = salted_repartition(todo.select("url", "html", "lang"),
-                              num_partitions)
-    extracted = todo.drop("salt").mapInPandas(
+    flagged = salted_repartition(flagged, num_partitions)
+    return flagged.drop("salt").mapInPandas(
         extract_batches, schema=EXTRACT_SCHEMA)
-    return extracted.unionByName(skip_name)

@@ -44,27 +44,17 @@ def read_pages_stream(spark: SparkSession, input_path: str,
 
 
 def extract_stream(pages: DataFrame) -> DataFrame:
-    """Streaming extraction: name-rule filter + the batch dispatcher.
-
-    No salted repartition here: micro-batches are already size-bounded by
-    the trigger, and a shuffle per micro-batch would add latency for no
-    balance win."""
-    skip_name = pages.filter(F.col("url").rlike(ex.GENERATED_NAME_PATTERN))
-    todo = pages.filter(~F.col("url").rlike(ex.GENERATED_NAME_PATTERN))
-    extracted = todo.select("url", "html", "lang").mapInPandas(
-        ex.extract_batches, schema=ex.EXTRACT_SCHEMA)
-    return extracted.unionByName(
-        skip_name.select(
-            "url", "lang",
-            F.lit("unknown").alias("doc_kind"),
-            F.lit(ex.ACTION_SKIP_NAME).alias("action"),
-            F.lit("").alias("extracted_text"),
-            F.lit(0).alias("page_count"), F.lit(0).alias("token_count"),
-            F.lit(0).alias("block_count"), F.lit(0).alias("parse_warnings"),
-            F.lit(0).alias("low_coverage"),
-            F.length(F.col("html")).cast("bigint").alias("bytes_in"),
-            F.lit(0.0).alias("seconds"),
-        ))
+    """Streaming extraction: single-pass name-rule routing + the batch
+    dispatcher (same plan shape as batch `run_extraction`, minus the salted
+    shuffle — micro-batches are already size-bounded by the trigger)."""
+    flagged = pages.select(
+        "url", "lang",
+        F.col("url").rlike(ex.GENERATED_NAME_PATTERN).alias("skip_name"),
+        F.length(F.col("html")).cast("bigint").alias("bytes_len"),
+        F.when(F.col("url").rlike(ex.GENERATED_NAME_PATTERN),
+               F.lit(b"")).otherwise(F.col("html")).alias("html"),
+    )
+    return flagged.mapInPandas(ex.extract_batches, schema=ex.EXTRACT_SCHEMA)
 
 
 def start_extraction_stream(

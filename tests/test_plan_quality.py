@@ -62,9 +62,10 @@ def test_anti_join_broadcasts_checkpoint(spark):
 
 
 def test_extraction_single_python_stage(spark, tmp_path):
-    """Over a real (parquet) source the dispatcher must be ONE vectorized
-    python stage (MapInPandas) and ONE exchange (the salted repartition);
-    the skip_name branch stays shuffle-free."""
+    """Over a real (parquet) source the full extraction must be: ONE scan,
+    ONE exchange (the salted repartition), ONE vectorized python stage.
+    A filter+union formulation would scan the input twice — at 100 TB a
+    second full pass over the lake."""
     corpus_df(spark, 100, seed=42, partitions=2) \
         .write.parquet(str(tmp_path / "pages"))
     pages = spark.read.parquet(str(tmp_path / "pages"))
@@ -72,6 +73,7 @@ def test_extraction_single_python_stage(spark, tmp_path):
     plan = _plan(res)
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Exchange ") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_name_rule_filter_is_catalyst_predicate(spark):
