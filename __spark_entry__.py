@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_ocr_batch_ndrocr_lite_spark.operators import (
+    curation as cu,
     dedup as dd,
     multimodal as mm,
     similarity as sim,
@@ -409,6 +410,46 @@ def _q30_lsh_candidates(spark, sf_dir):
         .orderBy("a_id", "b_id")
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy urls over documents (the table has no url col);
+    built identically in the SQL oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1, F.lit("?id=1&utm_campaign=x"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("#section-2"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                   F.lit(".Example.ORG/p/"), F.col("doc_id"), suffix)
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _q31_url_canonicalize(spark, sf_dir):
+    """URL canonicalization: scheme/host case-fold, fragment + tracking-param
+    strip, trailing cleanup — the dedup pre-key for crawl corpora."""
+    urls = _synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        cu.canonicalize_url(F.col("url")).alias("canon_url"),
+        cu.extract_domain(F.col("url")).alias("domain"),
+    ).orderBy("doc_id")
+
+
+def _q32_domain_cap(spark, sf_dir):
+    """Per-domain document cap (source-diversity curation)."""
+    urls = _synth_urls(spark, sf_dir)
+    # spread over 10 synthetic domains so the cap actually filters
+    urls = urls.withColumn(
+        "url",
+        F.concat(F.lit("https://d"), (F.col("doc_id") % 10),
+                 F.lit(".example.org/p/"), F.col("doc_id")))
+    capped = cu.per_domain_cap(urls, cap=3, order_col="doc_id")
+    return capped.select("doc_id", "domain").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -441,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_cube_metrics": _q28_cube_metrics,
         "q29_embedding_near_dup": _q29_embedding_near_dup,
         "q30_lsh_candidates": _q30_lsh_candidates,
+        "q31_url_canonicalize": _q31_url_canonicalize,
+        "q32_domain_cap": _q32_domain_cap,
     }
 
 
@@ -775,6 +818,54 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.key = b.key
             WHERE a.doc_id < b.doc_id
             ORDER BY a_id, b_id
+        """,
+        "q31_url_canonicalize": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.ORG/p/' ||
+                       doc_id ||
+                       CASE WHEN doc_id % 5 = 0
+                                THEN '?utm_source=feed&id=' || doc_id
+                            WHEN doc_id % 5 = 1 THEN '?id=1&utm_campaign=x'
+                            WHEN doc_id % 5 = 2 THEN '#section-2'
+                            WHEN doc_id % 5 = 3 THEN '/'
+                            ELSE '' END AS url
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       lower(regexp_extract(url, '^([a-zA-Z]+://[^/]+)', 1))
+                       || regexp_replace(url, '^[a-zA-Z]+://[^/]+', '', 'g'),
+                       '#.*$', '', 'g'),
+                       '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                       '\?&+', '?', 'g'),
+                       '&&+', '&', 'g'),
+                       '[?&]$', '', 'g'),
+                       '/$', '', 'g') AS canon_url,
+                   lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]+)', 1))
+                       AS domain
+            FROM u ORDER BY doc_id
+        """,
+        "q32_domain_cap": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://d' || (doc_id % 10) || '.example.org/p/' ||
+                       doc_id AS url
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]+)', 1))
+                           AS domain,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lower(regexp_extract(url,
+                               '^[a-zA-Z]+://([^/:]+)', 1))
+                           ORDER BY doc_id) AS rn
+                FROM u
+            )
+            SELECT doc_id, domain FROM ranked WHERE rn <= 3
+            ORDER BY doc_id
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check
         # q22_media_features: stubbed sha1 decode — rows-only check
