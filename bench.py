@@ -75,7 +75,9 @@ def bench_queries(spark):
     picks = ["q01_pricing_rollup", "q04_first_wins_dedup",
              "q06_broadcast_dim_join", "q12_minhash_signatures",
              "q13_jaccard_pairs", "q15_ann_topk", "q17_lang_id",
-             "q19_token_counts", "q20_fingerprint", "q23_events_window"]
+             "q19_token_counts", "q20_fingerprint", "q23_events_window",
+             "q29_embedding_near_dup", "q31_url_canonicalize",
+             "q32_domain_cap"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
