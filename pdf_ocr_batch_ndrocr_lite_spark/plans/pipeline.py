@@ -38,6 +38,10 @@ def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
         # cached input + Arrow buffers (default 1g thrashes GC)
         .config("spark.driver.memory", "48g")
         .config("spark.driver.maxResultSize", "4g")
+        # keep managed-table state out of the working directory
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/derby")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -95,6 +95,30 @@ def test_lineage_rollup_partial_aggregation(spark):
     assert "partial_count" in plan or "partial" in plan.lower()
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Pre-bucketed tables join without ANY exchange: the co-located-join
+    strategy the 100 TB plan uses for repeated large-large joins (bucketing
+    by url makes extraction↔metadata joins shuffle-free forever after)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    docs.select("doc_id", "lang").write.bucketBy(8, "doc_id") \
+        .sortBy("doc_id").mode("overwrite").saveAsTable("bkt_a")
+    docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id") \
+        .sortBy("doc_id").mode("overwrite").saveAsTable("bkt_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = spark.table("bkt_a").join(spark.table("bkt_b"), "doc_id")
+        plan = _plan(q)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_whole_stage_codegen_on_relational_ops(spark):
     """Relational stages must stay inside WholeStageCodegen."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
