@@ -450,6 +450,23 @@ def _q32_domain_cap(spark, sf_dir):
     return capped.select("doc_id", "domain").orderBy("doc_id")
 
 
+def _q33_salted_counts(spark, sf_dir):
+    """Two-phase salted aggregation for skewed keys — identical result to a
+    plain GROUP BY (the oracle), different physical shape."""
+    ev = _read(spark, sf_dir, "events")
+    return dd.salted_groupby_counts(ev, "event_type", "value", salt_n=16) \
+        .orderBy("event_type")
+
+
+def _q34_minhash_dedup(spark, sf_dir):
+    """Composed near-dup removal: LSH candidates → Jaccard verify → drop
+    losers (lower id survives)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    kept = dd.minhash_dedup(docs, num_hashes=4, bands=2, k=2,
+                            jaccard_threshold=0.08)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -484,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_lsh_candidates": _q30_lsh_candidates,
         "q31_url_canonicalize": _q31_url_canonicalize,
         "q32_domain_cap": _q32_domain_cap,
+        "q33_salted_counts": _q33_salted_counts,
+        "q34_minhash_dedup": _q34_minhash_dedup,
     }
 
 
@@ -865,6 +884,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM u
             )
             SELECT doc_id, domain FROM ranked WHERE rn <= 3
+            ORDER BY doc_id
+        """,
+        "q33_salted_counts": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS total
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q34_minhash_dedup": "WITH " + _shingle_cte(
+            "WHERE doc_id < 120", 2) + """,
+            sig AS (
+                SELECT doc_id,
+                       MIN(md5('0:' || shingle)) AS h0,
+                       MIN(md5('1:' || shingle)) AS h1,
+                       MIN(md5('2:' || shingle)) AS h2,
+                       MIN(md5('3:' || shingle)) AS h3
+                FROM sh GROUP BY doc_id
+            ),
+            buckets AS (
+                SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, h2 || '|' || h3 AS key FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id < b.doc_id
+            ),
+            dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+                FROM dsh a JOIN dsh b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            losers AS (
+                SELECT DISTINCT i.b_id
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a_id
+                JOIN sizes sb ON sb.doc_id = i.b_id
+                JOIN cand c ON c.a_id = i.a_id AND c.b_id = i.b_id
+                WHERE CAST(i.c AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - i.c) >= 0.08
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id < 120
+              AND doc_id NOT IN (SELECT b_id FROM losers)
             ORDER BY doc_id
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check

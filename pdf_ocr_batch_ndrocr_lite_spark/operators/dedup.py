@@ -122,6 +122,55 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
+def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", num_hashes: int = 8,
+                  bands: int = 4, k: int = 3,
+                  jaccard_threshold: float = 0.8) -> DataFrame:
+    """Composed near-dup removal: LSH candidates → Jaccard verify → drop.
+
+    Survivor rule: within each verified near-dup pair, the lower id wins
+    (first-seen-wins, transitively applied via drop-set).  Three shuffles
+    total (signatures, buckets, verify join) — all over digests/ids, never
+    over document text."""
+    candidates = minhash_lsh_candidates(docs, id_col, text_col,
+                                        num_hashes, bands, k)
+    cand_ids = (candidates.select(F.col("a_id").alias(id_col))
+                .union(candidates.select(F.col("b_id").alias(id_col)))
+                .distinct())
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    # verify ONLY candidate pairs (classic LSH): jaccard computed over the
+    # candidate-doc subset, then semi-joined back to the candidate pairs
+    verified = ngram_jaccard_pairs(cand_docs, id_col, text_col, k,
+                                   jaccard_threshold) \
+        .join(candidates, ["a_id", "b_id"], "left_semi")
+    losers = verified.select(F.col("b_id").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Skewed-key aggregation: two-phase salted groupBy.  Spark's partial
+# aggregation already defuses most skew for algebraic aggs; the explicit
+# two-phase form is for high-cardinality-payload aggs (collect_list-ish) or
+# engines/configs without map-side combine.  Result identical to a plain
+# groupBy — verified against the SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def salted_groupby_counts(df: DataFrame, key_col: str, value_col: str,
+                          salt_n: int = 16) -> DataFrame:
+    """count + sum(value) per key via salted partial → final aggregation."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key_col), F.lit(42)), F.lit(salt_n)))
+    partial = salted.groupBy(key_col, "_salt").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_s"),
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_c").alias("n"),
+        F.round(F.sum("_s"), 2).cast("double").alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard similarity for candidate verification (or small-scale
 # all-pairs).  Declarative set ops over shingle arrays.
