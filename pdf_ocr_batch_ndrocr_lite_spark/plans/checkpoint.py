@@ -14,8 +14,6 @@ of cluster size, and a restart can anti-join finished keys.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
