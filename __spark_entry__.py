@@ -28,9 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_ocr_batch_ndrocr_lite_spark.operators import (
+    asof as ao,
     curation as cu,
     dedup as dd,
     multimodal as mm,
+    rangejoin as rj,
     similarity as sim,
     textstats as ts,
 )
@@ -467,6 +469,41 @@ def _q34_minhash_dedup(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def _q35_asof_join(spark, sf_dir):
+    """As-of join (custom operator: Spark built-ins composition, DuckDB
+    native ASOF JOIN as the oracle): for each click, the latest preceding
+    error by the same user."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+    joined = ao.asof_join(clicks, errors, ["user_id"], "ts", "ts",
+                          ["err_id"])
+    return joined.select("event_id", "user_id",
+                         F.col("asof_err_id").alias("last_err_id")) \
+        .orderBy("event_id")
+
+
+_PRICE_BANDS = [(0, 0.0, 5_000.0), (1, 5_000.0, 20_000.0),
+                (2, 20_000.0, 60_000.0), (3, 60_000.0, 120_000.0)]
+
+
+def _q36_range_join(spark, sf_dir):
+    """Bucketized range join (custom operator): lineitem prices into
+    variable-width bands; oracle is the plain theta join."""
+    li = _read(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_id int, lo double, hi double")
+    joined = rj.range_join_bucketed(li, bands, "l_extendedprice",
+                                    "lo", "hi", bucket_width=5_000.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("band_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -503,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_domain_cap": _q32_domain_cap,
         "q33_salted_counts": _q33_salted_counts,
         "q34_minhash_dedup": _q34_minhash_dedup,
+        "q35_asof_join": _q35_asof_join,
+        "q36_range_join": _q36_range_join,
     }
 
 
@@ -935,6 +974,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 120
               AND doc_id NOT IN (SELECT b_id FROM losers)
             ORDER BY doc_id
+        """,
+        "q35_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            errors AS (
+                SELECT event_id AS err_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            )
+            SELECT c.event_id, c.user_id, e.err_id AS last_err_id
+            FROM clicks c
+            ASOF LEFT JOIN errors e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+            ORDER BY c.event_id
+        """,
+        "q36_range_join": """
+            WITH bands(band_id, lo, hi) AS (
+                VALUES (0, 0.0, 5000.0), (1, 5000.0, 20000.0),
+                       (2, 20000.0, 60000.0), (3, 60000.0, 120000.0)
+            )
+            SELECT b.band_id, COUNT(*) AS n_items
+            FROM lineitem l JOIN bands b
+              ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+            GROUP BY b.band_id ORDER BY b.band_id
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check
         # q22_media_features: stubbed sha1 decode — rows-only check
