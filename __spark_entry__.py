@@ -34,6 +34,7 @@ from pdf_ocr_batch_ndrocr_lite_spark.operators import (
     multimodal as mm,
     rangejoin as rj,
     similarity as sim,
+    sketches as sk,
     textstats as ts,
 )
 from pdf_ocr_batch_ndrocr_lite_spark.operators import extract as ex
@@ -504,6 +505,29 @@ def _q36_range_join(spark, sf_dir):
     )
 
 
+def _q37_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: one pass producing
+    (type, day, hour), (type, day), (type), () aggregation levels."""
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("day", F.date_trunc("day", F.col("ts"))) \
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return (
+        ev.rollup("event_type", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("day").asc_nulls_first(),
+                 F.col("hour").asc_nulls_first())
+    )
+
+
+def _q38_kmv_sketch(spark, sf_dir):
+    """Deterministic KMV distinct-count sketch (engine-portable, unlike
+    HLL): distinct users per event type."""
+    ev = _read(spark, sf_dir, "events")
+    return sk.kmv_distinct(ev, ["event_type"], "user_id", k=64) \
+        .orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -542,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_minhash_dedup": _q34_minhash_dedup,
         "q35_asof_join": _q35_asof_join,
         "q36_range_join": _q36_range_join,
+        "q37_hypertable_rollup": _q37_hypertable_rollup,
+        "q38_kmv_sketch": _q38_kmv_sketch,
     }
 
 
@@ -999,6 +1025,44 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN bands b
               ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
             GROUP BY b.band_id ORDER BY b.band_id
+        """,
+        "q37_hypertable_rollup": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   date_trunc('hour', ts) AS hour, COUNT(*) AS n
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts)
+                                             AS TIMESTAMP),
+                            date_trunc('hour', ts))
+            ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST,
+                     hour ASC NULLS FIRST
+        """,
+        "q38_kmv_sketch": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST(('0x' || substring(
+                            md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM events
+            ),
+            ranked AS (
+                SELECT event_type, hv,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h
+            ),
+            mins AS (SELECT event_type, hv, rn FROM ranked WHERE rn <= 64),
+            agg AS (
+                SELECT event_type, COUNT(*) AS n, MAX(hv) AS kth
+                FROM mins GROUP BY event_type
+            )
+            SELECT event_type,
+                   CASE WHEN n < 64 THEN n
+                        ELSE CAST(FLOOR(63.0 / (CAST(kth AS DOUBLE)
+                             / 1152921504606846976.0)) AS BIGINT)
+                   END AS kmv_estimate,
+                   n AS sketch_size
+            FROM agg ORDER BY event_type
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check
         # q22_media_features: stubbed sha1 decode — rows-only check

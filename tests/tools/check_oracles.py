@@ -23,7 +23,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm_value(v):
     if v is None:
-        return None
+        return "\x00NULL"  # sortable sentinel
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
