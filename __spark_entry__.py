@@ -528,6 +528,12 @@ def _q38_kmv_sketch(spark, sf_dir):
         .orderBy("event_type")
 
 
+def _q39_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint (exact int64 fold, portable)."""
+    docs = _read(spark, sf_dir, "documents")
+    return ts.rolling_hash(docs, prefix_chars=256).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_rollup": _q01_pricing_rollup,
@@ -568,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_range_join": _q36_range_join,
         "q37_hypertable_rollup": _q37_hypertable_rollup,
         "q38_kmv_sketch": _q38_kmv_sketch,
+        "q39_rolling_hash": _q39_rolling_hash,
     }
 
 
@@ -1063,6 +1070,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS kmv_estimate,
                    n AS sketch_size
             FROM agg ORDER BY event_type
+        """,
+        "q39_rolling_hash": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(7 AS BIGINT),
+                       list_transform(
+                         string_split(substring(text, 1, 256), ''),
+                         c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 288230376151711717) AS rhash
+            FROM documents ORDER BY doc_id
         """,
         # q14_simhash: xxhash64 not available in DuckDB — rows-only check
         # q22_media_features: stubbed sha1 decode — rows-only check

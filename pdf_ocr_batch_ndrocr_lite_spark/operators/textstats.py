@@ -100,6 +100,28 @@ def token_counts(docs: DataFrame, text_col: str = "text",
                        bpe.alias("bpe_tokens"))
 
 
+# Rolling-hash modulus: < 2^58 so acc*31 stays inside int64.
+ROLLING_MOD = 288230376151711717
+ROLLING_BASE = 31
+ROLLING_INIT = 7
+
+
+def rolling_hash(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", prefix_chars: int = 256
+                 ) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over the first
+    `prefix_chars` characters: h = fold((acc*31 + codepoint) % M, init=7).
+
+    Left fold via F.aggregate — fixed op order, exact int64 arithmetic,
+    bit-identical in any engine (DuckDB oracle uses list_reduce)."""
+    chars = F.slice(F.split(F.col(text_col), ""), 1, prefix_chars)
+    cps = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    h = F.aggregate(
+        cps, F.lit(ROLLING_INIT).cast("bigint"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % F.lit(ROLLING_MOD))
+    return docs.select(F.col(id_col), h.alias("rhash"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", window: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over all
