@@ -20,21 +20,21 @@ def _texts():
 
 
 @given(_texts())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 def test_normalize_idempotent(s):
     once = T.normalize_ocr_text(s)
     assert T.normalize_ocr_text(once) == once
 
 
 @given(_texts())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 def test_polish_idempotent(s):
     once = T.polish_hidden_line_text(s)
     assert T.polish_hidden_line_text(once) == once
 
 
 @given(_texts())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 def test_collapse_idempotent(s):
     once = T.collapse_spaces_for_japanese_line(s)
     assert T.collapse_spaces_for_japanese_line(once) == once
@@ -57,7 +57,7 @@ def _tokens():
 
 
 @given(_tokens())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 def test_line_grouping_permutation_invariant(tokens):
     """The defined pre-sort makes grouping invariant to input order —
     provided sort keys are unique (the sort is stable, so exact-geometry
@@ -81,7 +81,7 @@ def test_line_grouping_permutation_invariant(tokens):
 
 
 @given(_tokens())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 def test_dedup_idempotent_and_order_invariant(tokens):
     once = T.dedup_tokens(tokens)
     # re-deduplication keeps the same surviving set (exact ORDER can change:
@@ -100,7 +100,7 @@ def test_dedup_idempotent_and_order_invariant(tokens):
 
 
 @given(_tokens())
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 def test_serialize_page_deterministic(tokens):
     # unique sort keys: exact-geometry ties resolve by (stable) input order,
     # same as the reference
@@ -120,7 +120,7 @@ def test_serialize_page_deterministic(tokens):
 
 
 @given(st.lists(_texts(), max_size=10))
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 def test_block_dedup_idempotent(blocks):
     once = T.dedup_text_blocks(blocks)
     assert T.dedup_text_blocks(once) == once
