@@ -1,10 +1,11 @@
 """spark-submit entry point for the extraction job.
 
-Packaging (north star): zip the package and submit —
+Packaging (north star): zip the package and submit the shim file (this
+module uses package-relative imports, so spark-submit takes
+``submit_extract.py`` at the repo root, not this file) —
 
     cd /root/repo && zip -r /tmp/engine.zip pdf_ocr_batch_ndrocr_lite_spark
-    spark-submit --py-files /tmp/engine.zip \
-        -m pdf_ocr_batch_ndrocr_lite_spark.jobs \
+    spark-submit --py-files /tmp/engine.zip submit_extract.py \
         --input s3://bucket/pages_iceberg --output out_table \
         --checkpoint ckpt_table --iceberg
 
