@@ -113,6 +113,10 @@ def main() -> None:
         "pages_per_sec": round(pages / ext_sec, 1),
         "cpus": CPUS,
     }
+    if scaling:
+        # emit the headline immediately so a timeout mid-scaling still
+        # leaves a parseable result line; the final line supersedes it
+        print(json.dumps(result), flush=True)
 
     if scaling:
         # North-rule evidence: same job, same input, N vs 4N cores (the
