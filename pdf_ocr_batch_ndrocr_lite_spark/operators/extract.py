@@ -150,22 +150,31 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     Rows pre-flagged ``skip_name`` (the Catalyst RLike predicate evaluated
     them during the single input scan) pass through without touching the
-    payload — their ``html`` was already nulled before the shuffle."""
+    payload — their ``html`` was already nulled before the shuffle.
+
+    Columnar access (`.tolist()` once per batch, dict-of-lists output)
+    rather than per-cell `.iat` — measurably cheaper at Arrow batch sizes.
+    """
     for pdf in batches:
-        if len(pdf) == 0:
+        n = len(pdf)
+        if n == 0:
             continue
-        has_flags = "skip_name" in pdf.columns
-        rows = []
-        for i in range(len(pdf)):
-            if has_flags and pdf["skip_name"].iat[i]:
-                rows.append(_skip_name_row(pdf["url"].iat[i],
-                                           pdf["lang"].iat[i],
-                                           pdf["bytes_len"].iat[i]))
-            else:
-                rows.append(extract_one(pdf["url"].iat[i],
-                                        pdf["html"].iat[i],
-                                        pdf["lang"].iat[i]))
-        yield pd.DataFrame(rows, columns=_OUT_COLS)
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        langs = pdf["lang"].tolist()
+        if "skip_name" in pdf.columns:
+            skips = pdf["skip_name"].tolist()
+            blens = pdf["bytes_len"].tolist()
+        else:
+            skips = [False] * n
+            blens = [0] * n
+        out: Dict[str, list] = {c: [] for c in _OUT_COLS}
+        for i in range(n):
+            row = (_skip_name_row(urls[i], langs[i], blens[i]) if skips[i]
+                   else extract_one(urls[i], htmls[i], langs[i]))
+            for c in _OUT_COLS:
+                out[c].append(row[c])
+        yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
 def with_size_bucket(df: DataFrame) -> DataFrame:
