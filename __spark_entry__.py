@@ -613,8 +613,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
                         AS DOUBLE) AS sum_base_price,
                    COUNT(*) AS count_order,
-                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-                       AS n_returned
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2024-09-01'
             GROUP BY l_returnflag, l_linestatus
@@ -629,8 +629,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_threshold_filter": """
             SELECT lang, COUNT(*) AS total,
-                   SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS has_text,
-                   SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS needs_ocr
+                   CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS has_text,
+                   CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS needs_ocr
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q04_first_wins_dedup": """
@@ -677,7 +679,8 @@ def oracle_sql() -> dict[str, str]:
             FROM w ORDER BY doc_id
         """,
         "q10_rollup_lineage": """
-            SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
+            SELECT lang, COUNT(*) AS docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY ROLLUP(lang)
             ORDER BY lang ASC NULLS FIRST
         """,
@@ -818,8 +821,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS kind,
                    COUNT(*) AS n_items,
-                   SUM(octet_length(encode(text))) AS total_bytes,
-                   SUM(length(text) * 10) AS total_duration_ms
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes,
+                   CAST(SUM(length(text) * 10) AS BIGINT)
+                       AS total_duration_ms
             FROM documents GROUP BY 1 ORDER BY kind
         """,
         "q23_events_window": """
@@ -877,7 +882,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per_session GROUP BY user_id ORDER BY user_id
         """,
         "q28_cube_metrics": """
-            SELECT lang, source, COUNT(*) AS docs, SUM(n_chars) AS chars
+            SELECT lang, source, COUNT(*) AS docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY CUBE(lang, source)
             ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
         """,

@@ -1,8 +1,14 @@
 """Local mimic of the driver's correctness gate: run each __spark_entry__
 query on Spark and its oracle on DuckDB at sf0.01, compare row count, column
-names, and order-insensitive values.
+names, Arrow-level value types, and order-insensitive values.
 
     python tests/tools/check_oracles.py [query_name ...]
+
+The round-1 lesson: DuckDB ``SUM(INTEGER)`` returns HUGEINT
+(arrow decimal128(38,0)) while Spark returns BIGINT (int64).  Comparing
+``str(value)`` erases that difference but the driver's value-hash does not —
+so this mimic now compares through Arrow tables and normalizes values WITH a
+type-family tag (decimal vs int vs float) so the mismatch is visible locally.
 """
 
 from __future__ import annotations
@@ -12,6 +18,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow.types as pat
 
 REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
@@ -21,6 +28,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_family(t) -> str:
+    """Collapse an Arrow type to the family the driver's hash is sensitive
+    to.  decimal vs int vs float differ; width (int32/int64) and timestamp
+    tz-annotation do not (Spark's toArrow stamps the session tz, DuckDB
+    doesn't — values still compare equal)."""
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "string"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "binary"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return f"list<{type_family(t.value_type)}>"
+    return str(t)
+
+
 def norm_value(v):
     if v is None:
         return "\x00NULL"  # sortable sentinel
@@ -28,13 +59,21 @@ def norm_value(v):
         if math.isnan(v):
             return "nan"
         return repr(v)  # full precision: catches ulp-level engine drift
+    if isinstance(v, list):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if hasattr(v, "tzinfo") and v.tzinfo is not None:  # tz-aware datetime
+        v = v.replace(tzinfo=None)
     return str(v)
 
 
-def df_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+def table_to_multiset(tbl):
+    """(sorted column names, per-column type families, sorted row tuples)."""
+    names = sorted(tbl.column_names)
+    fams = [type_family(tbl.schema.field(n).type) for n in names]
+    cols = [tbl.column(n).to_pylist() for n in names]
+    rows = sorted(
+        tuple(norm_value(c[i]) for c in cols) for i in range(tbl.num_rows))
+    return names, fams, rows
 
 
 def main(only=None):
@@ -56,29 +95,30 @@ def main(only=None):
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            stbl = fn(spark, SF_DIR).toArrow()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL] {name}: spark error {e}")
             continue
         if name not in oracles:
-            print(f"[rows] {name}: {len(srows)} rows (no oracle)")
+            print(f"[rows] {name}: {stbl.num_rows} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL] {name}: duckdb error {e}")
             continue
-        sc, sm = df_to_multiset(scols, [tuple(r) for r in srows])
-        oc, om = df_to_multiset(ocols, orows)
+        sc, sf_, sm = table_to_multiset(stbl)
+        oc, of_, om = table_to_multiset(otbl)
         if sc != oc:
             failures.append((name, f"columns {sc} != {oc}"))
             print(f"[FAIL] {name}: columns {sc} vs {oc}")
+            continue
+        if sf_ != of_:
+            bad = [(c, a, b) for c, a, b in zip(sc, sf_, of_) if a != b]
+            failures.append((name, f"arrow types differ: {bad}"))
+            print(f"[FAIL] {name}: arrow types differ {bad}")
             continue
         if len(sm) != len(om):
             failures.append((name, f"rowcount {len(sm)} != {len(om)}"))
