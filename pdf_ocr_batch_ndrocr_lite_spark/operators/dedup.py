@@ -215,20 +215,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 64-bit weighted-majority fingerprint.  Per-word hash from
-# xxhash64 (JVM); bit-majority via explode over bit positions — fully
-# declarative, one groupBy(doc).  Hamming-near pairs join on rotated
-# prefixes in practice; here we expose the fingerprint and an exact-band
-# grouping.
+# SimHash: 60-bit weighted-majority fingerprint.  Per-word hash = first 15
+# hex chars of md5 parsed as int64 (uniform in [0, 2^60)) — deterministic
+# and ANSI-SQL-expressible, so the fingerprint has an exact DuckDB oracle
+# twin (xxhash64 would be Spark-only).  Bit-majority via explode over bit
+# positions — fully declarative, one groupBy(doc).  Hamming-near pairs join
+# on rotated prefixes in practice; here we expose the fingerprint and an
+# exact-band grouping.  Spark-only fast path: swap the hash expression for
+# F.xxhash64 — the plan shape is identical.
 # ---------------------------------------------------------------------------
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 60) -> DataFrame:
     """(id, simhash bigint).  Majority vote per bit over word hashes."""
     words = docs.select(
         F.col(id_col), F.explode(_words(text_col)).alias("word")
-    ).withColumn("wh", F.xxhash64("word"))
+    ).withColumn(
+        "wh",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint"))
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     votes = words.select(
         id_col,

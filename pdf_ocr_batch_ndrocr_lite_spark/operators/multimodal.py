@@ -22,7 +22,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id bigint, kind string, n_bytes bigint, sha1 string, "
+    "media_id bigint, kind string, n_bytes bigint, digest string, "
     "feature array<float>, n_frames int"
 )
 
@@ -47,8 +47,9 @@ def _fake_decode_features(payload: bytes, kind: str, dim: int = 8):
     """DECODE STUB — deterministic stand-in for image decode / resize /
     frame-sample / audio feature extraction.  Real implementation would
     decode `payload` with the appropriate codec; here features derive from
-    the sha1 digest so tests are stable."""
-    digest = hashlib.sha1(payload or b"").digest()
+    the md5 digest so tests are stable AND the whole stub has an exact
+    DuckDB oracle twin (sha1 is not available in DuckDB 1.0)."""
+    digest = hashlib.md5(payload or b"").digest()
     feats = [((digest[i] / 255.0) * 2.0 - 1.0) for i in range(dim)]
     n_frames = 1 if kind == "image" else 1 + digest[0] % 16
     return digest.hex(), feats, n_frames
@@ -68,13 +69,13 @@ def media_features(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 raw = bytes(payload or b"")
-                sha, feats, n_frames = _fake_decode_features(raw, kind)
+                digest, feats, n_frames = _fake_decode_features(raw, kind)
                 out.append({
                     "media_id": mid, "kind": kind, "n_bytes": len(raw),
-                    "sha1": sha, "feature": feats, "n_frames": n_frames,
+                    "digest": digest, "feature": feats, "n_frames": n_frames,
                 })
             yield pd.DataFrame(out, columns=["media_id", "kind", "n_bytes",
-                                             "sha1", "feature", "n_frames"])
+                                             "digest", "feature", "n_frames"])
 
     return media.select("media_id", "kind", "payload") \
         .mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -106,14 +107,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     pdf["media_id"], pdf["kind"], pdf["payload"],
                     pdf["duration_ms"]):
                 raw = bytes(payload or b"")
-                digest = hashlib.sha1(raw).digest()
+                digest = hashlib.md5(raw).digest()
                 if kind == "image":
                     n_frames = 1
                 else:
                     n_frames = max(1, int(duration or 0) // every_ms)
                 n_frames = min(n_frames, 64)  # page-count-style budget
                 for i in range(n_frames):
-                    fake = hashlib.sha1(digest + i.to_bytes(4, "big")).digest()
+                    fake = hashlib.md5(digest + i.to_bytes(4, "big")).digest()
                     out.append({
                         "media_id": mid, "frame_index": i,
                         "ts_ms": i * every_ms,

@@ -24,13 +24,14 @@ def test_media_features_shapes(spark):
         assert len(r["feature"]) == 8
         assert all(-1.0 <= v <= 1.0 for v in r["feature"])
         assert r["n_frames"] >= 1
-        assert len(r["sha1"]) == 40
+        assert len(r["digest"]) == 32
 
 
 def test_media_features_deterministic(spark):
     media = _media(spark, 30)
-    a = {r["media_id"]: r["sha1"] for r in mm.media_features(media).collect()}
-    b = {r["media_id"]: r["sha1"]
+    a = {r["media_id"]: r["digest"]
+         for r in mm.media_features(media).collect()}
+    b = {r["media_id"]: r["digest"]
          for r in mm.media_features(media.repartition(7)).collect()}
     assert a == b
 
