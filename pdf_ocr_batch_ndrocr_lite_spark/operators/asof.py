@@ -44,8 +44,13 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: List[str],
         F.lit(None).cast(lt.schema["_left"].dataType).alias("_left"),
     )
     unioned = lt.unionByName(rt)
+    # final tiebreak on the carried value columns: when several right rows
+    # share the same (key, ts), last() must pick the same one on every run
+    # (and in every engine) — without it the carried value is whatever
+    # partition-internal order the shuffle produced.  Ascending order means
+    # the greatest value tuple wins.
     w = (Window.partitionBy(*key_cols)
-         .orderBy("_ts", "_side")
+         .orderBy("_ts", "_side", *[F.col(f"_r_{c}") for c in value_cols])
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = unioned.select(
         "_side", "_left",

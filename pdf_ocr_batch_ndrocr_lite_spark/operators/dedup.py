@@ -125,13 +125,17 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", num_hashes: int = 8,
                   bands: int = 4, k: int = 3,
-                  jaccard_threshold: float = 0.8) -> DataFrame:
+                  jaccard_threshold: float = 0.8,
+                  max_df: int | None = None) -> DataFrame:
     """Composed near-dup removal: LSH candidates → Jaccard verify → drop.
 
     Survivor rule: within each verified near-dup pair, the lower id wins
     (first-seen-wins, transitively applied via drop-set).  Three shuffles
     total (signatures, buckets, verify join) — all over digests/ids, never
-    over document text."""
+    over document text.  ``max_df`` caps shingle document frequency inside
+    the verify stage (computed over the candidate-doc subset): the LSH
+    bucketing already bounds WHICH docs are verified, the DF cap bounds the
+    per-shingle join fan-out within them."""
     candidates = minhash_lsh_candidates(docs, id_col, text_col,
                                         num_hashes, bands, k)
     cand_ids = (candidates.select(F.col("a_id").alias(id_col))
@@ -141,7 +145,7 @@ def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
     # verify ONLY candidate pairs (classic LSH): jaccard computed over the
     # candidate-doc subset, then semi-joined back to the candidate pairs
     verified = ngram_jaccard_pairs(cand_docs, id_col, text_col, k,
-                                   jaccard_threshold) \
+                                   jaccard_threshold, max_df=max_df) \
         .join(candidates, ["a_id", "b_id"], "left_semi")
     losers = verified.select(F.col("b_id").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
@@ -179,17 +183,32 @@ def salted_groupby_counts(df: DataFrame, key_col: str, value_col: str,
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
     Exploded-intersection formulation: |A∩B| via groupBy(shingle) self-pairs,
     |A∪B| = |A|+|B|-|A∩B|.  One explode + one groupBy — no quadratic cross
     join; rare shingles dominate cost, as in standard similarity-join
-    practice.  At 100 TB you'd pre-filter shingles by document frequency.
+    practice.
+
+    ``max_df`` is the scale guard: shingles appearing in more than `max_df`
+    documents are dropped BEFORE the self-join (and, consistently, before
+    the per-doc size counts, so jaccard is computed over the filtered
+    shingle sets).  Without it a single stop-shingle ("of the") makes the
+    shingle self-join quadratic in its posting-list length — at corpus
+    scale this filter is mandatory, which is why the standalone q13 query
+    runs with it on.
     """
     sh = docs.select(
         F.col(id_col), F.explode(shingles_col(text_col, k)).alias("shingle")
     ).dropDuplicates([id_col, "shingle"])
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

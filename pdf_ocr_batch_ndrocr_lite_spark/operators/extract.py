@@ -177,34 +177,19 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
-def with_size_bucket(df: DataFrame) -> DataFrame:
-    """Payload-size bucket for skew defusal.  Multi-hundred-page PDFs (large
-    payloads) get their own buckets so salting can spread them; the reference
-    had no skew handling (one 500-page doc serialized the batch,
-    app.py:2953)."""
-    b = F.col("bytes_len")
-    return (
-        df.withColumn("bytes_len", F.length(F.col("html")))
-        .withColumn(
-            "size_bucket",
-            F.when(b < 16_384, F.lit(0))
-            .when(b < 131_072, F.lit(1))
-            .when(b < 1_048_576, F.lit(2))
-            .otherwise(F.lit(3)),
-        )
-    )
-
-
 def salted_repartition(df: DataFrame, num_partitions: int = 0) -> DataFrame:
     """HASH-repartition on a per-url salt so the 1% giant-doc tail spreads
     uniformly across tasks.
 
     Deliberately NOT repartitionByRange: range partitioning balances ROW
-    counts, so the few hundred bucket-3 giants land contiguously in one or
+    counts, so the few hundred giant docs land contiguously in one or
     two partitions — measured 5x slower end-to-end (27s vs 5.4s at sf0.1)
     because one task inherits ~50% of total work.  Uniform hash placement
     bounds the expected giants-per-task at (n_giants / n_partitions); with
-    partitions ≈ 4x cores the straggler tail is a single giant doc."""
+    partitions ≈ 4x cores the straggler tail is a single giant doc.  (A
+    size-bucketed range scheme was prototyped and removed for the same
+    reason: any strategy that CO-LOCATES the large-payload tail loses to
+    uniform hash spread.)"""
     df = df.withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(8192)))
     if num_partitions > 0:
         return df.repartition(num_partitions, "salt")

@@ -31,9 +31,14 @@ def range_join_bucketed(points: DataFrame, ranges: DataFrame,
         "_buckets",
         F.sequence(
             F.floor(F.col(lo_col) / bw).cast("long"),
-            # hi is exclusive: a range ending exactly on a boundary does not
-            # reach into the next bucket
-            F.floor((F.col(hi_col) - F.lit(1e-9)) / bw).cast("long"),
+            # explode up to floor(hi/bw) unconditionally: when hi is exactly
+            # on a boundary this emits one bucket the (exclusive) range never
+            # matches — a small cost, never a correctness issue.  (An
+            # epsilon-subtraction here silently DROPS pairs whenever hi lies
+            # within epsilon above a boundary: points in the topmost bucket
+            # would never meet the range in the equi-join, and the residual
+            # predicate cannot recover them.)
+            F.floor(F.col(hi_col) / bw).cast("long"),
         ),
     ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
     joined = p.join(r, "_bucket").filter(

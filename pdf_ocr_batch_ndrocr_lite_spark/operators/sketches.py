@@ -26,17 +26,35 @@ def _hash60(col):
 
 
 def kmv_distinct(df: DataFrame, group_cols, value_col: str,
-                 k: int = 64) -> DataFrame:
+                 k: int = 64, salt_partitions: int = 32) -> DataFrame:
     """Per-group distinct-count sketch: exact below k, KMV estimate above.
 
     estimate = floor((k-1) / (kth_min / 16^15)) — double arithmetic in a
     fixed op order, then floor to int64: bitwise-reproducible across
-    engines.  One shuffle; the min-k accumulator is mergeable (expressed as
-    sort_array(collect_set)[1:k] here; at 100 TB an Aggregator keeps only k
-    values per partition so memory stays O(k) per group)."""
+    engines.
+
+    Two-phase min-k so no single aggregation state holds all distinct
+    hashes of a group (round 1 used a single collect_set — O(distinct)
+    executor memory, an OOM at 10^9 distinct values per group):
+
+      phase 1: groupBy(group, pmod(hash, P)) → k smallest per salt cell
+               (cell state is O(distinct/P); size P for the target scale,
+               e.g. P=4096 bounds a 10^9-distinct group at ~2 MB/cell)
+      phase 2: groupBy(group) over the P arrays → flatten, re-take k
+               smallest (merge state is O(k*P), a few hundred KB)
+
+    Identical result to the one-phase form: a given hash value always lands
+    in the same salt cell (pmod is deterministic), so the flattened union
+    is exactly the distinct hash set's per-cell minima, and the global k
+    smallest survive phase 1 by construction."""
+    salt = F.pmod(F.col("_h"), F.lit(salt_partitions)).alias("_salt")
     hashed = df.select(*group_cols, _hash60(F.col(value_col)).alias("_h"))
-    per_group = hashed.groupBy(*group_cols).agg(
-        F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_mins"),
+    partial = hashed.groupBy(*group_cols, salt).agg(
+        F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_cell_mins"),
+    )
+    per_group = partial.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_cell_mins"))), 1, k)
+        .alias("_mins"),
     )
     n = F.size("_mins")
     kth = F.element_at("_mins", k).cast("double")

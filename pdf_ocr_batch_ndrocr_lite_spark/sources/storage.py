@@ -45,6 +45,21 @@ class StorageAdapter:
         else:
             df.write.mode("append").parquet(path)
 
+    def overwrite_partitions(self, df: DataFrame, path: str,
+                             partition_cols: List[str]) -> None:
+        """Idempotent keyed write: each partition value present in `df`
+        REPLACES its previous output instead of appending next to it, so a
+        replayed key (crash between output write and lineage commit) cannot
+        duplicate rows.  Iceberg: ``overwritePartitions()`` snapshot commit;
+        parquet fallback: dynamic partitionOverwriteMode."""
+        if self.use_iceberg:
+            df.writeTo(path).overwritePartitions()
+        else:
+            (df.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(*partition_cols)
+             .parquet(path))
+
     def merge_upsert(self, spark: SparkSession, path: str, updates: DataFrame,
                      key_cols: List[str], order_col: str) -> None:
         """Upsert by key, newest ``order_col`` wins.

@@ -10,13 +10,16 @@ extracted incrementally with exactly-once sink semantics.
 Design notes for scale:
 - The dispatcher is the SAME pure mapInPandas stage as batch — stateless per
   row, so it needs no watermark or state store.
-- Idempotency comes from the streaming checkpoint (offsets + file sink log),
-  replacing the batch checkpoint table's anti-join.
+- foreachBatch is inherently at-least-once: after a failure Spark replays
+  the last uncommitted micro-batch.  Effective exactly-once comes from
+  making the replay IDEMPOTENT: both sinks are partitioned by batch_id and
+  written with dynamic partition overwrite, so a replayed batch replaces
+  its own output instead of appending a second copy.  (Round 1 used a blind
+  append here — duplicated rows on replay.)
 - `maxFilesPerTrigger` bounds micro-batch size the way the Arrow page
   budget bounds batch memory.
-- Lineage counters use foreachBatch: each micro-batch appends its
-  per-partition-key rollup to the lineage table inside the same transaction
-  scope Spark gives foreachBatch (batchId-keyed, replayable).
+- Lineage counters ride the same foreachBatch: per-partition-key rollup,
+  batch_id-keyed, replay-safe by the same overwrite.
 """
 
 from __future__ import annotations
@@ -57,6 +60,34 @@ def extract_stream(pages: DataFrame) -> DataFrame:
     return flagged.mapInPandas(ex.extract_batches, schema=ex.EXTRACT_SCHEMA)
 
 
+def make_batch_sink(output_path: str, lineage_path: Optional[str] = None):
+    """foreachBatch sink with idempotent replay: batch_id-partitioned
+    dynamic overwrite means a micro-batch replayed after a failure REPLACES
+    its previous (possibly partial) output — effective exactly-once for
+    both the extractions sink and the lineage rollup."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.persist()
+        try:
+            (out.filter(F.col("action") == ex.ACTION_EXTRACTED)
+             .select("url", "lang", "doc_kind", "extracted_text",
+                     "page_count", "token_count", "block_count")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(output_path))
+            if lineage_path:
+                (ck.lineage_from_results(out)
+                 .withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(lineage_path))
+        finally:
+            out.unpersist()
+
+    return sink
+
+
 def start_extraction_stream(
     spark: SparkSession,
     input_path: str,
@@ -74,21 +105,7 @@ def start_extraction_stream(
     """
     results = extract_stream(
         read_pages_stream(spark, input_path, max_files_per_trigger))
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df.persist()
-        try:
-            (out.filter(F.col("action") == ex.ACTION_EXTRACTED)
-             .select("url", "lang", "doc_kind", "extracted_text",
-                     "page_count", "token_count", "block_count")
-             .write.mode("append").parquet(output_path))
-            if lineage_path:
-                (ck.lineage_from_results(out)
-                 .withColumn("batch_id", F.lit(batch_id))
-                 .write.mode("append").parquet(lineage_path))
-        finally:
-            out.unpersist()
-
+    sink = make_batch_sink(output_path, lineage_path)
     writer = (
         results.writeStream
         .foreachBatch(sink)

@@ -84,6 +84,31 @@ def test_pipeline_with_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_first
 
 
+def test_replay_after_lost_lineage_no_duplicates(spark, tmp_path):
+    """Crash-window semantics: output committed but lineage commit lost
+    (simulated by deleting the checkpoint table).  The restart re-extracts
+    every key — the keyed overwrite sink must REPLACE their output, not
+    append next to it."""
+    import shutil
+    out = str(tmp_path / "extractions")
+    ckpt = str(tmp_path / "checkpoint")
+    storage = StorageAdapter()
+    df = corpus_df(spark, 80, seed=SEED, partitions=4)
+
+    totals = run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                          storage=storage, num_buckets=8)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == totals["extracted"] > 0
+
+    shutil.rmtree(ckpt)  # the crash: lineage never landed
+    totals2 = run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                           storage=storage, num_buckets=8)
+    assert totals2["docs"] == 80  # everything replayed...
+    final = spark.read.parquet(out)
+    assert final.count() == n_first  # ...but nothing duplicated
+    assert final.count() == final.select("url").distinct().count()
+
+
 def test_partial_resume_no_duplicates(spark, tmp_path):
     """Kill-after-partition-k semantics: pre-mark half the buckets done,
     run, then complete; no url appears twice."""

@@ -1,0 +1,121 @@
+"""Scale-guard behavior tests: the operators whose round-1 formulations
+would not survive 100 TB (kmv collect_set, jaccard stop-shingles) now have
+bounded shapes — these tests pin both the semantics and the bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_batch_ndrocr_lite_spark.operators import dedup as dd
+from pdf_ocr_batch_ndrocr_lite_spark.operators import sketches as sk
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct: two-phase min-k must equal the naive one-phase form and keep
+# per-cell aggregation state bounded.
+# ---------------------------------------------------------------------------
+
+
+def _naive_kmv(spark_df, group_col, value_col, k):
+    hashed = spark_df.select(
+        group_col, sk._hash60(F.col(value_col)).alias("_h"))
+    per_group = hashed.groupBy(group_col).agg(
+        F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_mins"))
+    n = F.size("_mins")
+    kth = F.element_at("_mins", k).cast("double")
+    est = F.when(n < k, n.cast("bigint")).otherwise(
+        F.floor(F.lit(float(k - 1)) / (kth / F.lit(sk._HASH_SPACE)))
+        .cast("bigint"))
+    return per_group.select(group_col, est.alias("kmv_estimate"),
+                            n.alias("sketch_size"))
+
+
+def test_kmv_two_phase_equals_one_phase(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"),
+        # ~50% duplicate values so distinct-per-group spans both sides of k
+        (F.col("id") % 2500).cast("string").alias("v"))
+    got = {tuple(r[:1]): (r["kmv_estimate"], r["sketch_size"])
+           for r in sk.kmv_distinct(df, ["g"], "v", k=32,
+                                    salt_partitions=8).collect()}
+    want = {tuple(r[:1]): (r["kmv_estimate"], r["sketch_size"])
+            for r in _naive_kmv(df, "g", "v", 32).collect()}
+    assert got == want
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(0, 40).select(
+        F.lit("only").alias("g"), F.col("id").cast("string").alias("v"))
+    rows = sk.kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert len(rows) == 1
+    assert rows[0]["kmv_estimate"] == 40  # exact when distinct < k
+    assert rows[0]["sketch_size"] == 40
+
+
+def test_kmv_plan_has_salted_partial_phase(spark):
+    """The first aggregation must group by (group, salt): no single
+    aggregation state ever sees a whole group's distinct hash set."""
+    df = spark.range(0, 100).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    plan = sk.kmv_distinct(df, ["g"], "v", k=8, salt_partitions=4) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the optimizer folds the `_salt` alias into a _groupingexpression but
+    # the pmod-keyed partial aggregate must survive
+    assert "pmod" in plan
+    # two logical aggregate levels: the salted partial and the merge
+    assert plan.count("Aggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs max_df: a ubiquitous stop-shingle must not create a
+# quadratic self-join intermediate, and jaccard must be computed over the
+# filtered shingle sets.
+# ---------------------------------------------------------------------------
+
+
+def _stop_shingle_corpus(spark, n=40):
+    """Every doc contains the stop bigram 'of the'; docs i and i+1 (even i)
+    additionally share a unique bigram, so true near-dup pairs exist."""
+    rows = []
+    for i in range(n):
+        pair_tag = f"tag{i // 2} x{i // 2}"
+        rows.append((i, f"of the {pair_tag} uniq{i} z{i}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_jaccard_max_df_drops_stop_shingles(spark):
+    docs = _stop_shingle_corpus(spark)
+    pairs = dd.ngram_jaccard_pairs(docs, k=2, threshold=0.2, max_df=4) \
+        .collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    # only the engineered (even, even+1) pairs survive; the stop shingle
+    # no longer links every doc to every other doc
+    assert got == {(i, i + 1) for i in range(0, 40, 2)}
+
+
+def test_jaccard_stop_shingle_intermediate_bounded(spark):
+    """Row-count proof the guard kills the quadratic blow-up: with the
+    ubiquitous shingle kept, the self-join emits ~n^2/2 rows; with max_df
+    it emits only the engineered pairs."""
+    docs = _stop_shingle_corpus(spark)
+    unfiltered = dd.ngram_jaccard_pairs(docs, k=2, threshold=0.0).count()
+    filtered = dd.ngram_jaccard_pairs(docs, k=2, threshold=0.0,
+                                      max_df=4).count()
+    assert unfiltered == 40 * 39 // 2  # every pair shares 'of the'
+    assert filtered == 20
+
+
+def test_minhash_dedup_accepts_max_df(spark):
+    """Pairs (i, i+1) have identical text, so their minhash signatures are
+    identical and candidacy is guaranteed (no LSH luck involved); unrelated
+    docs share ONLY the stop shingle, so any accidental bucket collision
+    must be rejected by the DF-filtered verify stage."""
+    rows = []
+    for i in range(40):
+        rows.append((i, f"of the alpha{i // 2} beta{i // 2} gamma{i // 2}"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = dd.minhash_dedup(docs, num_hashes=4, bands=2, k=2,
+                            jaccard_threshold=0.3, max_df=4)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # each identical pair loses its higher id; all even ids survive
+    assert ids == set(range(0, 40, 2))

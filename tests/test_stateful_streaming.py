@@ -55,3 +55,38 @@ def test_stateful_dedup_across_restarts(spark, tmp_path):
     _land(spark, inp, range(0, 60))
     _run_once(spark, inp, out, ckpt)
     assert spark.read.parquet(out).count() == 60
+
+
+def test_state_bounded_by_eviction_horizon(spark, tmp_path):
+    """Per-bucket state must stay O(cap): with a tiny cap, hashes evicted
+    oldest-first mean an early url re-arriving AFTER eviction is treated as
+    new (dedup horizon semantics) — which is only possible if the state
+    array was actually truncated rather than growing without bound."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(cap):
+        stream = (spark.readStream.schema(PAGES_SCHEMA)
+                  .option("maxFilesPerTrigger", 100).parquet(inp))
+        deduped = dedup_urls_stateful(stream, num_buckets=1,
+                                      max_state_per_bucket=cap)
+        q = (deduped.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(180)
+
+    _land(spark, inp, range(0, 30))       # batch 1: urls 0-29 admitted
+    _run(cap=10)                          # state keeps only the last 10
+    assert spark.read.parquet(out).count() == 30
+
+    _land(spark, inp, range(0, 5))        # urls 0-4 were evicted → re-admitted
+    _run(cap=10)
+    assert spark.read.parquet(out).count() == 35
+
+    _land(spark, inp, range(0, 5))        # now 0-4 ARE in state → deduped
+    _run(cap=10)
+    assert spark.read.parquet(out).count() == 35

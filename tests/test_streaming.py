@@ -59,3 +59,33 @@ def test_incremental_stream(spark, tmp_path):
                                 trigger_once=True)
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == n2
+
+
+def test_batch_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: Spark replays an uncommitted batch
+    after a failure.  Calling the sink twice with the same batch_id must
+    leave exactly one copy of the rows (dynamic overwrite, not append)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import extract as E
+    from pdf_ocr_batch_ndrocr_lite_spark.streaming.extract_stream import (
+        make_batch_sink,
+    )
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    results = E.run_extraction(corpus_df(spark, 50, seed=42, partitions=2))
+    sink = make_batch_sink(out, lineage)
+
+    sink(results, 7)
+    n_once = spark.read.parquet(out).count()
+    assert n_once > 0
+    sink(results, 7)  # the replay
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n_once
+    assert replayed.select("url").distinct().count() == n_once
+    lin = spark.read.parquet(lineage)
+    # one lineage rollup per (batch, partition_key), not two
+    assert lin.groupBy("batch_id", "partition_key").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+    # a different batch appends alongside, untouched by the replay
+    sink(results.limit(0), 8)
+    assert spark.read.parquet(out).count() == n_once
