@@ -1,0 +1,161 @@
+"""Deterministic minimal-PDF writer (synthesis only — tests, corpus, bench).
+
+Produces small but REAL PDFs — header, object table, page tree, xref,
+trailer, optional FlateDecode, optional standard-security-handler RC4
+encryption (V2/R3) — so the raw-byte scanner in ``pdf_scan`` is exercised
+against genuine PDF structure rather than against its own assumptions.
+This is the synthetic stand-in for the PDF bytes a crawl corpus carries
+(no external data; everything derives from the caller's strings).
+
+Not a general-purpose writer: one font, one content stream per page, no
+images.  That is exactly the profile the text-layer predicate cares about.
+"""
+
+from __future__ import annotations
+
+import zlib
+from hashlib import md5
+from typing import List, Optional, Sequence
+
+from .pdf_scan import _PAD, rc4
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+class _Encryption:
+    """Standard security handler, V2/R3 (RC4-128)."""
+
+    def __init__(self, user_pw: str = "", owner_pw: str = "owner",
+                 permissions: int = -4, file_id: bytes = b"\x01" * 16,
+                 keylen: int = 16) -> None:
+        self.p = permissions
+        self.file_id = file_id
+        self.keylen = keylen
+        upad = _pad_password(user_pw.encode("latin-1"))
+        opad = _pad_password((owner_pw or user_pw).encode("latin-1"))
+        # Algorithm 3.3: /O entry
+        okey = md5(opad).digest()
+        for _ in range(50):
+            okey = md5(okey[:keylen]).digest()
+        okey = okey[:keylen]
+        o = rc4(okey, upad)
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+        self.o = o
+        # Algorithm 3.2: file encryption key
+        key = md5(upad + self.o
+                  + (self.p & 0xFFFFFFFF).to_bytes(4, "little")
+                  + file_id).digest()
+        for _ in range(50):
+            key = md5(key[:keylen]).digest()
+        self.key = key[:keylen]
+        # Algorithm 3.5: /U entry (R3)
+        u = md5(_PAD + file_id).digest()
+        for i in range(20):
+            u = rc4(bytes(b ^ i for b in self.key), u)
+        self.u = u + b"\x00" * 16
+
+    def encrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        k = md5(self.key + num.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")).digest()
+        return rc4(k[:min(self.keylen + 5, 16)], data)
+
+    def dict_src(self) -> bytes:
+        return (b"<< /Filter /Standard /V 2 /R 3 /Length "
+                + str(self.keylen * 8).encode()
+                + b" /P " + str(self.p).encode()
+                + b" /O <" + self.o.hex().encode() + b">"
+                + b" /U <" + self.u.hex().encode() + b"> >>")
+
+
+def _escape_literal(s: bytes) -> bytes:
+    return (s.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)"))
+
+
+def page_content(text: Optional[str]) -> bytes:
+    """Content stream for one page: a Tj text-show when `text` is
+    non-empty, otherwise a pure vector drawing (zero text ops — exactly the
+    scanned-image profile the OCR batch exists for)."""
+    if text:
+        lit = _escape_literal(text.encode("latin-1", errors="replace"))
+        return (b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET")
+    return b"0 0 612 792 re f"
+
+
+def build_pdf(page_texts: Sequence[Optional[str]], compress: bool = False,
+              user_pw: Optional[str] = None,
+              corrupt: bool = False) -> bytes:
+    """Build one PDF.  `page_texts[i]` is page i's shown text (None/'' →
+    image-like page with no text operators).  `user_pw` switches on RC4
+    encryption (empty string = empty user password, which the scanner's
+    decrypt('') attempt must accept; non-empty = the attempt must fail).
+    `corrupt` truncates the body mid-object → structural parse failure."""
+    enc = _Encryption(user_pw=user_pw) if user_pw is not None else None
+    n_pages = len(page_texts)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page
+    # (page obj, content obj)
+    objs: List[bytes] = []
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")                   # 1
+    objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                + str(n_pages).encode() + b" >>")                        # 2
+    objs.append(b"<< /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >>")                              # 3
+    bodies: List[bytes] = []
+    for i, text in enumerate(page_texts):
+        page_num = 4 + 2 * i
+        content_num = page_num + 1
+        objs.append(b"<< /Type /Page /Parent 2 0 R "
+                    b"/MediaBox [0 0 612 792] "
+                    b"/Resources << /Font << /F1 3 0 R >> >> "
+                    b"/Contents %d 0 R >>" % content_num)
+        data = page_content(text)
+        if compress:
+            data = zlib.compress(data)
+        if enc is not None:
+            data = enc.encrypt_stream(data, content_num, 0)
+        filt = b"/Filter /FlateDecode " if compress else b""
+        bodies.append((content_num,
+                       b"<< " + filt + b"/Length "
+                       + str(len(data)).encode() + b" >>\nstream\n"
+                       + data + b"\nendstream"))
+        objs.append(None)  # placeholder; bodies carry the stream objects
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # object 0 is the free head
+    body_by_num = dict(bodies)
+    total_objs = 3 + 2 * n_pages
+    enc_num = None
+    if enc is not None:
+        enc_num = total_objs + 1
+        total_objs += 1
+    for num in range(1, total_objs + 1):
+        offsets.append(len(out))
+        if num <= 3:
+            src = objs[num - 1]
+        elif enc_num is not None and num == enc_num:
+            src = enc.dict_src()
+        elif num % 2 == 0:  # page object
+            src = objs[num - 1]
+        else:
+            src = body_by_num[num]
+        out += b"%d 0 obj\n" % num + src + b"\nendobj\n"
+    if corrupt:
+        # keep the header but cut inside the very first object: no complete
+        # object survives → structural PdfParseError, like a truncated fetch
+        return bytes(out[:40])
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (total_objs + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R" % (total_objs + 1)
+    if enc is not None:
+        out += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_num, enc.file_id.hex().encode(), enc.file_id.hex().encode())
+    out += b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import html_extract, ocr_parse, textops
+from ..functions import html_extract, ocr_parse, pdf_scan, textops
 
 # Output schema of the dispatcher stage.
 EXTRACT_SCHEMA = (
@@ -43,6 +43,10 @@ ACTION_EXTRACTED = "extracted"
 ACTION_SKIP_HAS_TEXT = "skip_has_text"
 ACTION_SKIP_NAME = "skip_name"
 ACTION_PARSE_FAILURE = "parse_failure"
+# Raw-PDF route only: no text layer and no OCR payload attached → the doc
+# is routed to a downstream OCR engine (the reference shells out to one,
+# app.py:2953; this architecture emits the routing decision as a row).
+ACTION_NEEDS_OCR = "needs_ocr"
 
 # Name-rule skip regex: stems matching `_ocr` / `_ocr_NNN` are this tool's own
 # outputs (app.py:87, 1306-1313).  Catalyst-evaluated RLike — no UDF.
@@ -94,6 +98,31 @@ def extract_pdf_document(envelope: Dict[str, Any]) -> Dict[str, Any]:
             "low_coverage": stats["low_coverage"]}
 
 
+def extract_raw_pdf(payload: bytes) -> Dict[str, Any]:
+    """Raw-PDF-bytes route: the reference's text-layer predicate over the
+    document's ACTUAL content streams — Tj/TJ/'/" operator scan + per-page
+    char counting with cumulative early exit (app.py:1156, 1191-1278) —
+    preceded by the empty-password decrypt attempt for encrypted files
+    (app.py:1178-1189).  Outcomes:
+      text layer found      → skip_has_text (no OCR needed — reference
+                              plans these files out, app.py:1306-1352)
+      no text layer         → needs_ocr routing row
+      empty-pw attempt fails / structurally unreadable → parse_failure
+    """
+    try:
+        has_text, total_pages = pdf_scan.has_text_layer_raw(
+            payload, pages_to_check=TEXT_LAYER_CHECK_PAGES,
+            min_chars=MIN_TEXT_LAYER_CHARS, min_text_ops=MIN_TEXT_SHOW_OPS)
+    except ValueError:  # PdfParseError | EncryptedPdfError
+        return {"action": ACTION_PARSE_FAILURE, "extracted_text": "",
+                "page_count": 0, "token_count": 0, "block_count": 0,
+                "parse_warnings": 1, "low_coverage": 0}
+    action = ACTION_SKIP_HAS_TEXT if has_text else ACTION_NEEDS_OCR
+    return {"action": action, "extracted_text": "",
+            "page_count": total_pages, "token_count": 0, "block_count": 0,
+            "parse_warnings": 0, "low_coverage": 0}
+
+
 def extract_html_document(payload: bytes) -> Dict[str, Any]:
     """HTML route: boilerplate strip → main text (north-star extension)."""
     text = html_extract.extract_main_text(
@@ -111,7 +140,10 @@ def extract_one(url: str, payload: bytes, lang: str) -> Dict[str, Any]:
     kind = "html"
     try:
         head = bytes(payload[:64]).lstrip()
-        if head.startswith(b"{"):
+        if head.startswith(b"%PDF-"):
+            kind = "rawpdf"
+            out = extract_raw_pdf(bytes(payload))
+        elif head.startswith(b"{"):
             envelope = json.loads(bytes(payload).decode("utf-8"))
             if isinstance(envelope, dict) and envelope.get("kind") == "pdf":
                 kind = "pdf"

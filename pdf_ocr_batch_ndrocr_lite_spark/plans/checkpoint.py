@@ -5,7 +5,8 @@ reprocessing guards (/root/reference/app.py:1086-1142, 2471-2529) with a
 keyed lineage table:
 
     (partition_key, docs, pages, bytes, parse_failures,
-     skip_name, skip_has_text, extracted, seconds, status, updated_at)
+     skip_name, skip_has_text, needs_ocr, extracted, seconds, status,
+     updated_at)
 
 ``partition_key`` is a stable hash bucket of ``url`` — NOT a physical Spark
 partition id — so the same document always lands in the same key regardless
@@ -23,8 +24,8 @@ DEFAULT_NUM_BUCKETS = 256
 
 CHECKPOINT_COLS = [
     "partition_key", "docs", "pages", "bytes", "parse_failures",
-    "skip_name", "skip_has_text", "extracted", "seconds", "status",
-    "updated_at",
+    "skip_name", "skip_has_text", "needs_ocr", "extracted", "seconds",
+    "status", "updated_at",
 ]
 
 
@@ -69,6 +70,8 @@ def lineage_from_results(results: DataFrame,
         .cast("long").alias("skip_name"),
         F.sum(F.when(F.col("action") == "skip_has_text", 1).otherwise(0))
         .cast("long").alias("skip_has_text"),
+        F.sum(F.when(F.col("action") == "needs_ocr", 1).otherwise(0))
+        .cast("long").alias("needs_ocr"),
         F.sum(F.when(F.col("action") == "extracted", 1).otherwise(0))
         .cast("long").alias("extracted"),
         F.sum("seconds").alias("seconds"),

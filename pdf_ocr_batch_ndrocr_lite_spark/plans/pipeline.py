@@ -95,10 +95,12 @@ def run_pipeline(
                   .otherwise(0)).alias("skip_has_text"),
             F.sum(F.when(F.col("action") == ex.ACTION_SKIP_NAME, 1)
                   .otherwise(0)).alias("skip_name"),
+            F.sum(F.when(F.col("action") == ex.ACTION_NEEDS_OCR, 1)
+                  .otherwise(0)).alias("needs_ocr"),
         ).collect()[0]
         return {k: int(row[k] or 0) for k in
                 ["docs", "pages", "extracted", "parse_failures",
-                 "skip_has_text", "skip_name"]}
+                 "skip_has_text", "skip_name", "needs_ocr"]}
 
     if not output_path:
         # no sink: single aggregation pass, caller only wants counters

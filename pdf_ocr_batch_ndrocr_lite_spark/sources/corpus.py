@@ -24,6 +24,8 @@ from typing import Any, Dict, Iterator, List
 
 import pandas as pd
 
+from ..functions import pdf_make
+
 EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 LANGS = ["ja", "en", "de", "es", "zh"]
 
@@ -298,6 +300,36 @@ def _make_pdf_envelope(rng: random.Random, lang: str) -> bytes:
     return json.dumps(envelope, ensure_ascii=False).encode("utf-8")
 
 
+# every 17th-ish row (index % 17 == RAW_PDF_SLOT) carries REAL PDF bytes
+# instead of a parsed envelope, exercising the raw content-stream scanner
+# (pdf_scan) end to end: text-layer skip, needs-OCR routing, empty-password
+# decrypt, wrong-password failure, truncated fetch
+RAW_PDF_MOD = 17
+RAW_PDF_SLOT = 3
+
+
+def _make_raw_pdf(rng: random.Random, lang: str) -> bytes:
+    n_pages = rng.randint(1, 3)
+    r = rng.random()
+    if r < 0.60:  # scanned-image profile: zero text operators → needs_ocr
+        return pdf_make.build_pdf([None] * n_pages,
+                                  compress=rng.random() < 0.5)
+    if r < 0.80:  # searchable: real text layer → skip_has_text
+        texts = [" ".join(_word(rng, "en")
+                          for _ in range(rng.randint(3, 8)))
+                 for _ in range(n_pages)]
+        return pdf_make.build_pdf(texts, compress=rng.random() < 0.5)
+    if r < 0.85:  # text only BEYOND the 20-page check window → needs_ocr
+        return pdf_make.build_pdf([None] * 22 + ["late text page here"],
+                                  compress=False)
+    if r < 0.90:  # encrypted, EMPTY user password → decrypt attempt succeeds
+        return pdf_make.build_pdf(["encrypted searchable text layer"],
+                                  compress=True, user_pw="")
+    if r < 0.95:  # encrypted, real password → attempt fails → parse_failure
+        return pdf_make.build_pdf(["locked content"], user_pw="secret")
+    return pdf_make.build_pdf(["x"], corrupt=True)  # truncated fetch
+
+
 _HTML_SHELL = (
     "<html><head><title>t</title><script>var x=1;</script></head><body>"
     "<nav><a href='/a'>Home</a> <a href='/b'>About</a> <a href='/c'>More</a></nav>"
@@ -341,6 +373,14 @@ def make_row(seed: int, index: int) -> Dict[str, Any]:
     url = f"https://example.org/{split:04d}/{index:06d}"
     if rng.random() < 0.03:
         url += "_ocr" if rng.random() < 0.5 else "_ocr_001"  # name-rule skip
+    if index % RAW_PDF_MOD == RAW_PDF_SLOT:
+        return {
+            "url": url,
+            "warc_ts": EPOCH + _dt.timedelta(seconds=index),
+            "html": _make_raw_pdf(rng, lang),
+            "text": "",
+            "lang": lang,
+        }
     is_pdf = rng.random() < 0.6
     if is_pdf:
         payload = _make_pdf_envelope(rng, lang)

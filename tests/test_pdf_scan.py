@@ -1,0 +1,145 @@
+"""Raw-PDF byte path: the reference's text-layer predicate over real PDF
+content streams (app.py:1156, 1178-1278), exercised against genuine minimal
+PDFs built by functions.pdf_make (structure: header, page tree, xref,
+FlateDecode, RC4 encryption)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pdf_ocr_batch_ndrocr_lite_spark.functions import pdf_make as pm
+from pdf_ocr_batch_ndrocr_lite_spark.functions import pdf_scan as ps
+from pdf_ocr_batch_ndrocr_lite_spark.operators import extract as E
+
+
+# --- the operator regex itself (app.py:1156 byte-for-byte) ---------------
+
+
+@pytest.mark.parametrize("content,expected", [
+    (b"BT (hi) Tj ET", 1),
+    (b"BT [(a) (b)] TJ ET", 1),
+    (b"BT (x) ' ET", 1),
+    (b'BT (y) " ET', 1),
+    (b"BT (a) Tj (b) Tj ET", 2),
+    (b"0 0 612 792 re f", 0),
+    (b"/TJx 5 gs", 0),           # Tj/TJ inside a longer name: no match
+    (b"xTJ", 0),                  # letter before: negative lookbehind
+    (b"q TJ Q", 1),
+    (b"TJ", 1),                   # end-of-data lookahead branch
+    (b"", 0),
+])
+def test_text_show_operator_regex(content, expected):
+    assert ps.count_text_show_ops(content) == expected
+    # stays byte-identical to the reference pattern
+    ref = re.compile(rb'(?<![A-Za-z])(Tj|TJ|\'|")(?=[^A-Za-z]|$)')
+    assert len(ref.findall(content)) == expected
+
+
+# --- predicate semantics over real PDFs ----------------------------------
+
+
+def test_text_layer_found_plain_and_flate():
+    for compress in (False, True):
+        pdf = pm.build_pdf(["a searchable text layer", None],
+                           compress=compress)
+        assert ps.has_text_layer_raw(pdf) == (True, 2)
+
+
+def test_image_only_pdf_has_no_text_layer():
+    pdf = pm.build_pdf([None, None, None], compress=True)
+    assert ps.has_text_layer_raw(pdf) == (False, 3)
+
+
+def test_single_text_op_trips_ops_threshold():
+    # chars below MIN_TEXT_LAYER_CHARS but one Tj op ≥ MIN_TEXT_SHOW_OPS=1
+    pdf = pm.build_pdf(["abc"])
+    assert ps.has_text_layer_raw(pdf)[0] is True
+
+
+def test_cumulative_chars_across_pages():
+    # 4 + 4 + 4 stripped chars cross the 10-char threshold only on page 3 —
+    # the walk is CUMULATIVE (app.py:1225-1232), with ops threshold disabled
+    pdf = pm.build_pdf(["ab c d", "ef g h", "ij k l"])
+    assert ps.has_text_layer_raw(pdf, min_text_ops=10**9) == (True, 3)
+    pdf2 = pm.build_pdf(["ab c d", "ef g h"])
+    assert ps.has_text_layer_raw(pdf2, min_text_ops=10**9) == (False, 2)
+
+
+def test_twenty_page_check_window():
+    # text only on page 23 → outside min(total, 20) window → False
+    pdf = pm.build_pdf([None] * 22 + ["late text page here"])
+    assert ps.has_text_layer_raw(pdf) == (False, 23)
+    # window clamp: pages_to_check=0 falls back to the default, ≥1 page
+    pdf2 = pm.build_pdf(["early text page here"])
+    assert ps.has_text_layer_raw(pdf2, pages_to_check=0) == (True, 1)
+
+
+def test_early_exit_ignores_later_garbage():
+    # page 1 trips the threshold; page 2's stream has an unsupported filter
+    # and would degrade to 0 ops if reached — early exit returns first
+    good = pm.build_pdf(["plenty of text right here", None])
+    assert ps.has_text_layer_raw(good)[0] is True
+
+
+def test_encrypted_empty_password_decrypts_and_scans():
+    pdf = pm.build_pdf(["encrypted searchable text"], compress=True,
+                       user_pw="")
+    assert ps.has_text_layer_raw(pdf) == (True, 1)
+    img = pm.build_pdf([None, None], user_pw="")
+    assert ps.has_text_layer_raw(img) == (False, 2)
+
+
+def test_encrypted_real_password_rejected():
+    pdf = pm.build_pdf(["locked"], user_pw="secret")
+    with pytest.raises(ps.EncryptedPdfError):
+        ps.has_text_layer_raw(pdf)
+
+
+def test_corrupt_pdf_raises_parse_error():
+    with pytest.raises(ps.PdfParseError):
+        ps.has_text_layer_raw(pm.build_pdf(["x"], corrupt=True))
+    with pytest.raises(ps.PdfParseError):
+        ps.has_text_layer_raw(b"not a pdf at all")
+
+
+def test_literal_string_escapes_counted_once():
+    # \( \) \\ and octal escapes decode to ONE char each; whitespace and
+    # line continuations are stripped before counting (app.py:1221)
+    pdf = pm.build_pdf(["(x) \\ y"])
+    streams = ps.page_content_streams(pdf)
+    # "(x) \ y" → strip spaces → "(x)\y" → 5 chars
+    assert ps.count_text_chars(streams[0]) == 5
+
+
+def test_hex_string_chars_counted():
+    content = b"BT <48656c6c6f> Tj ET"  # "Hello"
+    assert ps.count_text_chars(content) == 5
+    assert ps.count_text_show_ops(content) == 1
+
+
+# --- dispatcher integration ----------------------------------------------
+
+
+def test_dispatcher_routes_raw_pdf():
+    searchable = E.extract_one("u1", pm.build_pdf(["searchable text"]), "en")
+    assert (searchable["doc_kind"], searchable["action"]) == \
+        ("rawpdf", E.ACTION_SKIP_HAS_TEXT)
+
+    scanned = E.extract_one("u2", pm.build_pdf([None, None]), "en")
+    assert (scanned["doc_kind"], scanned["action"]) == \
+        ("rawpdf", E.ACTION_NEEDS_OCR)
+    assert scanned["page_count"] == 2
+
+    locked = E.extract_one("u3", pm.build_pdf(["s"], user_pw="pw"), "en")
+    assert (locked["doc_kind"], locked["action"]) == \
+        ("rawpdf", E.ACTION_PARSE_FAILURE)
+
+    broken = E.extract_one("u4", pm.build_pdf(["s"], corrupt=True), "en")
+    assert (broken["doc_kind"], broken["action"]) == \
+        ("rawpdf", E.ACTION_PARSE_FAILURE)
+
+    empty_pw = E.extract_one(
+        "u5", pm.build_pdf(["encrypted text layer"], user_pw=""), "en")
+    assert empty_pw["action"] == E.ACTION_SKIP_HAS_TEXT

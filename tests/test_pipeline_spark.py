@@ -49,6 +49,17 @@ def test_action_mix(results):
     assert E.ACTION_SKIP_HAS_TEXT in actions
     assert E.ACTION_SKIP_NAME in actions
     assert E.ACTION_PARSE_FAILURE in actions
+    assert E.ACTION_NEEDS_OCR in actions  # raw-PDF scanned-image rows
+
+
+def test_raw_pdf_rows_in_corpus(results):
+    kinds = {r["doc_kind"] for r in results.values()}
+    assert "rawpdf" in kinds
+    raw = [r for r in results.values() if r["doc_kind"] == "rawpdf"]
+    raw_actions = {r["action"] for r in raw}
+    # all three raw outcomes appear across 300 docs
+    assert {E.ACTION_NEEDS_OCR, E.ACTION_SKIP_HAS_TEXT,
+            E.ACTION_PARSE_FAILURE} <= raw_actions
 
 
 def test_name_rule_matches_spark_rlike(spark, results):
