@@ -143,3 +143,28 @@ def test_dispatcher_routes_raw_pdf():
     empty_pw = E.extract_one(
         "u5", pm.build_pdf(["encrypted text layer"], user_pw=""), "en")
     assert empty_pw["action"] == E.ACTION_SKIP_HAS_TEXT
+
+
+# --- page-explode operator -------------------------------------------------
+
+
+def test_pdf_page_stats_explode(spark):
+    import pandas as pd
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import pdfpages as pp
+    rows = [
+        {"url": "u/ok2", "html": pm.build_pdf([None, "page two text"])},
+        {"url": "u/locked", "html": pm.build_pdf(["s"], user_pw="pw")},
+        {"url": "u/broken", "html": pm.build_pdf(["s"], corrupt=True)},
+        {"url": "u/flate", "html": pm.build_pdf(["compressed text here"],
+                                                compress=True)},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows),
+                               "url string, html binary")
+    got = {(r["url"], r["page_index"]): (r["n_text_ops"], r["n_chars"])
+           for r in pp.pdf_page_stats(df).collect()}
+    # failures contribute ZERO page rows (anti-join recovers them)
+    assert set(u for u, _ in got) == {"u/ok2", "u/flate"}
+    assert got[("u/ok2", 0)] == (0, 0)
+    assert got[("u/ok2", 1)] == (1, len("pagetwotext"))
+    assert got[("u/flate", 0)] == (1, len("compressedtexthere"))
