@@ -282,18 +282,21 @@ def join_tokens_for_hidden_line(tokens: Sequence[Token]) -> str:
     """
     if not tokens:
         return ""
-    line_has_ja = any(contains_japanese(normalize_ocr_text(t.text)) for t in tokens)
+    # normalize each token exactly once (the original re-derived the prev
+    # token's normalized text every iteration — same bytes, 3x the calls)
+    norm = [normalize_ocr_text(t.text) for t in tokens]
+    line_has_ja = any(contains_japanese(s) for s in norm)
     pieces: List[str] = []
     prev: Optional[Token] = None
-    for tok in tokens:
-        cur = normalize_ocr_text(tok.text)
+    prev_text = ""
+    for tok, cur in zip(tokens, norm):
         if not cur:
             continue
         if prev is None:
             pieces.append(cur)
             prev = tok
+            prev_text = cur
             continue
-        prev_text = normalize_ocr_text(prev.text)
         gap = max(0.0, float(tok.x1) - float(prev.x2))
         gap_ratio = gap / max(1.0, min(_height(prev), _height(tok)))
         if line_has_ja:
@@ -308,6 +311,7 @@ def join_tokens_for_hidden_line(tokens: Sequence[Token]) -> str:
             pieces.append(" ")
         pieces.append(cur)
         prev = tok
+        prev_text = cur
     joined = "".join(pieces)
     if line_has_ja:
         return collapse_spaces_for_japanese_line(joined)
