@@ -59,12 +59,19 @@ def main(argv=None) -> int:
     from .sources.corpus import corpus_df
     from .sources.storage import StorageAdapter
 
+    import os
     if args.master:
         spark = build_session(app_name="pdf-extract", master=args.master)
-    else:
-        # under spark-submit the session config comes from the launcher
+    elif "PYSPARK_GATEWAY_PORT" in os.environ:
+        # under spark-submit the JVM already exists and the session config
+        # comes from the launcher (--driver-memory etc.)
         from pyspark.sql import SparkSession
         spark = SparkSession.builder.appName("pdf-extract").getOrCreate()
+    else:
+        # standalone `python -m ...jobs` run: go through build_session so
+        # the driver JVM is actually sized (a bare builder here left the
+        # 500k-doc soak on the 1g default heap)
+        spark = build_session(app_name="pdf-extract", master="local[*]")
 
     storage = StorageAdapter(use_iceberg=args.iceberg)
     if args.synthetic_docs:

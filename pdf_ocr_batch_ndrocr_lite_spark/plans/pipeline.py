@@ -32,7 +32,28 @@ def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
                   shuffle_partitions: int = 32) -> SparkSession:
     """Session tuned for the extraction workload: AQE for runtime re-plan and
     skew-join splitting, Arrow batches capped so no batch exceeds a page
-    budget (north rule)."""
+    budget (north rule).
+
+    Driver JVM sizing must be set BEFORE the gateway launches — builder
+    `.config` for driver memory / java options is silently ignored once the
+    JVM exists (pyspark client mode), which is how a 1g default heap and 1g
+    netty direct-memory cap survived round 1 unnoticed until the 500k-doc
+    soak OOMed Arrow IPC buffers.  On a real cluster the same flags ride
+    spark-submit (--driver-memory / --conf spark.executor.memory)."""
+    import os as _os
+    if "PYSPARK_SUBMIT_ARGS" not in _os.environ:
+        # GCLockerRetryAllocationCount: 32 executor threads doing Arrow JNI
+        # allocations trip JDK-17 G1's "Retried waiting for GCLocker too
+        # often" spurious OOM — raise the retry budget.  32m regions keep
+        # multi-MB document byte[]s out of the humongous-allocation path.
+        _os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            "--driver-memory 48g "
+            "--driver-java-options "
+            "'-XX:MaxDirectMemorySize=8g -Dderby.system.home=/tmp/derby "
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100 "
+            "-XX:G1HeapRegionSize=32m' "
+            "pyspark-shell")
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -42,8 +63,13 @@ def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
         .config("spark.driver.maxResultSize", "4g")
         # keep managed-table state out of the working directory
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        # Arrow IPC buffers live in netty DIRECT memory (default cap = 1g):
+        # 32 concurrent python-runner tasks each holding a few-MB batch of
+        # giant-doc envelopes overflow it at soak scale — size it like the
+        # heap, not like the default
         .config("spark.driver.extraJavaOptions",
-                "-Dderby.system.home=/tmp/derby")
+                "-Dderby.system.home=/tmp/derby "
+                "-XX:MaxDirectMemorySize=8g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -415,10 +415,17 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int = 0):
     rng_free = spark.range(0, n_docs, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield pd.DataFrame([make_row(seed, int(i)) for i in pdf["id"]],
-                               columns=["url", "warc_ts", "html", "text", "lang"])
+            # yield in small slices so no single Arrow IPC batch carries
+            # tens of MB of giant-doc envelopes (bounds direct memory per
+            # concurrent task regardless of the input batch size)
+            ids = pdf["id"].tolist()
+            for lo in range(0, len(ids), 64):
+                chunk = ids[lo:lo + 64]
+                if chunk:
+                    yield pd.DataFrame(
+                        [make_row(seed, int(i)) for i in chunk],
+                        columns=cols)
 
     return rng_free.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -168,3 +168,104 @@ def test_pdf_page_stats_explode(spark):
     assert got[("u/ok2", 0)] == (0, 0)
     assert got[("u/ok2", 1)] == (1, len("pagetwotext"))
     assert got[("u/flate", 0)] == (1, len("compressedtexthere"))
+
+
+# --- crawl-reality structures (handcrafted bytes, not via pdf_make) --------
+
+
+def _obj(num, body):
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _stream_obj(num, data, eol=b"\n", filt=b""):
+    return _obj(num, b"<< " + filt + b"/Length " + str(len(data)).encode()
+                + b" >>\nstream" + eol + data + eol + b"endstream")
+
+
+def _doc(*objs, trailer=b"trailer\n<< /Root 1 0 R >>\n"):
+    return b"%PDF-1.4\n" + b"".join(objs) + trailer + b"%%EOF\n"
+
+
+def test_contents_array_concatenated_across_streams():
+    """/Contents [4 0 R 5 0 R]: op counting runs over the CONCATENATED
+    data, so a Tj split across the stream boundary still counts (the
+    reference joins get_data() of every item the same way,
+    app.py:1271-1273)."""
+    pdf = _doc(
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>"),
+        _stream_obj(4, b"BT (split token here) T"),
+        _stream_obj(5, b"j ET"),
+    )
+    streams = ps.page_content_streams(pdf)
+    assert len(streams) == 1
+    assert ps.count_text_show_ops(streams[0]) == 1
+    assert ps.has_text_layer_raw(pdf)[0] is True
+
+
+def test_crlf_stream_eol():
+    pdf = _doc(
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        _stream_obj(4, b"BT (crlf stream body text) Tj ET", eol=b"\r\n"),
+    )
+    assert ps.has_text_layer_raw(pdf) == (True, 1)
+
+
+def test_no_trailer_object_scan_fallback():
+    """Linearized/incremental crawls often lack a clean trailer: the
+    catalog is found by /Type scan, pages recovered in object order."""
+    pdf = _doc(
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        _stream_obj(4, b"BT (found without trailer!) Tj ET"),
+        trailer=b"",
+    )
+    assert ps.has_text_layer_raw(pdf) == (True, 1)
+
+
+def test_pages_vs_page_type_disambiguation():
+    """/Type /Pages (the tree node) must never be counted as a page —
+    the \\b in the type regex rejects the 's'."""
+    pdf = _doc(
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        _obj(4, b"<< /Type /Page /Parent 2 0 R >>"),  # page w/o contents
+        _stream_obj(5, b"0 0 1 1 re f"),
+    )
+    assert ps.has_text_layer_raw(pdf) == (False, 2)
+
+
+def test_nested_pages_tree_order():
+    """Two-level /Kids tree: document order follows the tree walk, not
+    object numbering."""
+    pdf = _doc(
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [6 0 R 3 0 R] /Count 2 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        _stream_obj(4, b"BT (second in tree, low objnum) Tj ET"),
+        _obj(6, b"<< /Type /Pages /Kids [7 0 R] /Count 1 >>"),
+        _obj(7, b"<< /Type /Page /Parent 6 0 R /Contents 8 0 R >>"),
+        _stream_obj(8, b"0 0 1 1 re f"),
+    )
+    streams = ps.page_content_streams(pdf)
+    assert len(streams) == 2
+    assert ps.count_text_show_ops(streams[0]) == 0  # obj 7 first (tree order)
+    assert ps.count_text_show_ops(streams[1]) == 1
+
+
+def test_bad_flate_degrades_to_zero_ops():
+    """A corrupt FlateDecode body must degrade that page to 0 ops/chars,
+    never raise (app.py:1265-1278 swallows per-page errors)."""
+    pdf = _doc(
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        _stream_obj(4, b"\x00not-really-deflate\x00",
+                    filt=b"/Filter /FlateDecode "),
+    )
+    assert ps.has_text_layer_raw(pdf) == (False, 1)

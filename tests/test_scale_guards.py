@@ -119,3 +119,36 @@ def test_minhash_dedup_accepts_max_df(spark):
     ids = {r["doc_id"] for r in kept.collect()}
     # each identical pair loses its higher id; all even ids survive
     assert ids == set(range(0, 40, 2))
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles: percentile_disc semantics, deterministic under ties.
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quantiles_matches_sorted_ranks(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import quantiles as qt
+    rows = [("a", v, i) for i, v in enumerate([5, 1, 9, 3, 7, 3, 3])] \
+        + [("b", v, 100 + i) for i, v in enumerate([10, 20])]
+    df = spark.createDataFrame(rows, "g string, v int, id int")
+    got = {(r["g"], r["q"]): r["value"]
+           for r in qt.exact_quantiles(df, "g", "v", [0.5, 0.9, 1.0],
+                                       tiebreak_col="id").collect()}
+    # group a sorted: [1,3,3,3,5,7,9], n=7 → p50=rank ceil(3.5)=4 → 3;
+    # p90=rank ceil(6.3)=7 → 9; p100=rank 7 → 9
+    assert got[("a", 0.5)] == 3
+    assert got[("a", 0.9)] == 9
+    assert got[("a", 1.0)] == 9
+    # group b: [10,20] → p50=rank 1 → 10, p90/p100=rank 2 → 20
+    assert got[("b", 0.5)] == 10
+    assert got[("b", 1.0)] == 20
+
+
+def test_exact_quantiles_single_row_and_low_q(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import quantiles as qt
+    df = spark.createDataFrame([("g", 42, 0)], "g string, v int, id int")
+    got = {r["q"]: r["value"]
+           for r in qt.exact_quantiles(df, "g", "v", [0.01, 0.99],
+                                       tiebreak_col="id").collect()}
+    # rank max(1, ceil(q*1)) = 1 for every q
+    assert got == {0.01: 42, 0.99: 42}
