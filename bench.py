@@ -81,9 +81,13 @@ def bench_queries(spark):
     qs = entrymod.queries()
     out = {}
     for name in picks:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).collect()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: shared-VM noise is up to 2-3x
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
     return out
 
 
