@@ -63,7 +63,9 @@ def shingles_col(text_col: str, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup.
+# MinHash + LSH near-dup (Broder, "On the resemblance and containment of
+# documents", 1997; banding analysis as in Leskovec/Rajaraman/Ullman,
+# Mining of Massive Datasets ch. 3).
 #
 # Signature: for hash seed s, minhash_s(doc) = min over shingles of
 # md5(s || ':' || shingle) — an order-preserving proxy for a random
@@ -234,7 +236,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 60-bit weighted-majority fingerprint.  Per-word hash = first 15
+# SimHash (Charikar, "Similarity estimation techniques from rounding
+# algorithms", STOC 2002; applied to web dedup in Manku/Jain/Das Sarma,
+# WWW 2007): 60-bit weighted-majority fingerprint.  Per-word hash = first 15
 # hex chars of md5 parsed as int64 (uniform in [0, 2^60)) — deterministic
 # and ANSI-SQL-expressible, so the fingerprint has an exact DuckDB oracle
 # twin (xxhash64 would be Spark-only).  Bit-majority via explode over bit
@@ -274,7 +278,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup: pairs with cosine ≥ threshold among LSH-ish
-# coarse buckets (label column or norm-bucket).  Vector math via
+# coarse buckets (label column or norm-bucket) — the IVF coarse-quantizer
+# shape of Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011.  Vector math via
 # F.aggregate/zip_with — JVM-side, no Python.
 # ---------------------------------------------------------------------------
 

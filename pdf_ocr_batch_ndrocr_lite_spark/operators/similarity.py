@@ -67,7 +67,8 @@ def topk_per_bucket(emb: DataFrame, query: Sequence[float], k: int = 3,
 def random_hyperplane_buckets(emb: DataFrame, planes: List[Sequence[float]],
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
-    """Sign-LSH bucket id per row: bit b = (v · plane_b) > 0.
+    """Sign-LSH bucket id per row (random-hyperplane rounding, Charikar
+    STOC 2002): bit b = (v · plane_b) > 0.
 
     `planes` are fixed constants (seeded off-line), so bucketing is a pure
     map stage; an ANN query probes only matching (or near-matching) buckets

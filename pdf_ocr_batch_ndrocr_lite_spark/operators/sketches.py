@@ -2,7 +2,9 @@
 
 Spark's approx_count_distinct (HLL++) is implementation-defined, so it
 cannot be oracle-checked across engines.  The KMV (k-minimum-values)
-estimator below is fully deterministic: element hashes are the first 15 hex
+estimator below (Bar-Yossef et al., "Counting distinct elements in a data
+stream", RANDOM 2002; mergeability per Beyer et al., SIGMOD 2007) is
+fully deterministic: element hashes are the first 15 hex
 chars of md5 parsed as int64 (uniform in [0, 16^15)), the sketch is the k
 smallest hashes, and the estimate is a pure function of the k-th smallest —
 identical in any engine, mergeable (sketch of a union = re-take k smallest

@@ -125,7 +125,9 @@ def rolling_hash(docs: DataFrame, text_col: str = "text",
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", window: int = 5,
                 hasher: str = "md5") -> DataFrame:
-    """Winnowing-style document fingerprint: the minimum hash over all
+    """Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — min-hash-of-shingles variant): the minimum hash over all
     `window`-word shingles — stable under content reordering at the margins
     and usable as a near-dup blocking key.
 

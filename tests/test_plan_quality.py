@@ -128,3 +128,32 @@ def test_whole_stage_codegen_on_relational_ops(spark):
     plan = _plan(q)
     # "*(n)" node prefix is the WholeStageCodegen marker in compact form
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
+
+
+def test_exact_quantiles_single_exchange(spark):
+    """The quantile operator must shuffle ONCE (the window partition) —
+    ranks and per-group counts share the same exchange."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import quantiles as qt
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v"),
+        F.col("id").alias("id2"))
+    plan = qt.exact_quantiles(df, "g", "v", [0.5, 0.9], "id2") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_pdf_page_stats_single_python_stage(spark):
+    """Raw-PDF page explode is one scan + one python stage, no shuffle."""
+    import pandas as pd
+
+    from pdf_ocr_batch_ndrocr_lite_spark.functions import pdf_make as pm
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import pdfpages as pp
+    df = spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "html": pm.build_pdf(["t"])}]),
+        "url string, html binary")
+    plan = pp.pdf_page_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert plan.count("MapInPandas") == 1

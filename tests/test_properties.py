@@ -124,3 +124,39 @@ def test_serialize_page_deterministic(tokens):
 def test_block_dedup_idempotent(blocks):
     once = T.dedup_text_blocks(blocks)
     assert T.dedup_text_blocks(once) == once
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher never-throw invariant (E1): ARBITRARY bytes — truncated PDFs,
+# junk JSON, binary noise, half-valid headers — must produce an action row,
+# never an exception (reference per-file try/except, app.py:2790-2859).
+# ---------------------------------------------------------------------------
+
+
+_PAYLOAD_HEADS = [b"", b"%PDF-", b"%PDF-1.4\n", b"{", b'{"kind": "pdf"',
+                  b"<html>", b"\x00\x01\x02", b"{\"kind\": \"pdf\", "]
+
+
+@given(st.sampled_from(_PAYLOAD_HEADS), st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_dispatcher_never_raises_on_arbitrary_bytes(head, tail):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import extract as E
+    out = E.extract_one("https://example.org/fuzz", head + tail, "en")
+    assert out["action"] in {E.ACTION_EXTRACTED, E.ACTION_SKIP_HAS_TEXT,
+                             E.ACTION_PARSE_FAILURE, E.ACTION_NEEDS_OCR}
+    assert isinstance(out["extracted_text"], str)
+    assert out["page_count"] >= 0
+    assert out["bytes_in"] == len(head + tail)
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=100, deadline=None)
+def test_pdf_scanner_total_on_pdf_headed_bytes(data):
+    """pdf_scan either answers or raises its two typed errors — nothing
+    else escapes — for any %PDF-headed byte string."""
+    from pdf_ocr_batch_ndrocr_lite_spark.functions import pdf_scan as ps
+    try:
+        has_text, pages = ps.has_text_layer_raw(b"%PDF-1.4\n" + data)
+        assert isinstance(has_text, bool) and pages >= 1
+    except (ps.PdfParseError, ps.EncryptedPdfError):
+        pass
