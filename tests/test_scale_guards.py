@@ -152,3 +152,37 @@ def test_exact_quantiles_single_row_and_low_q(spark):
                                        tiebreak_col="id").collect()}
     # rank max(1, ceil(q*1)) = 1 for every q
     assert got == {0.01: 42, 0.99: 42}
+
+
+# ---------------------------------------------------------------------------
+# page_geometry: reference render-side math (app.py:1381-1443, 3911-3918).
+# ---------------------------------------------------------------------------
+
+
+def test_geometry_reference_semantics(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import geometry as geo
+    rows = [
+        # (id, render_dpi, width_px, rotation, media_w, crop_w, img_dpi)
+        (0, 50, 720, -90, 0.0, 0.0, 19.9),      # dpi clamps to 72; rot 270
+        (1, 200, 800, 450, None, 400.0, 20.0),  # rot 90; media -> width_pt
+        (2, 300, 600, 0, 595.2, 0.0, 1200.0),   # crop -> media
+        (3, 72, 144, 359, 100.0, 50.0, 1200.1),  # img dpi > 1200 -> 150
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, render_dpi int, width_px int, rotation_deg int, "
+              "media_width_pt double, crop_width_pt double, img double") \
+        .withColumn("height_px", F.col("width_px"))
+    out = {r["doc_id"]: r for r in geo.page_geometry(df).withColumn(
+        "img_norm", geo.normalize_dpi(F.col("img"))).collect()}
+    assert out[0]["norm_dpi"] == 72 and out[0]["width_pt"] == 720.0
+    assert out[0]["rotation_norm"] == 270          # Python % semantics
+    assert out[0]["media_width_pt_norm"] == 720.0  # 0.0 -> width_pt
+    assert out[0]["crop_width_pt_norm"] == 720.0   # 0.0 -> media fallback
+    assert out[0]["img_norm"] == 150.0             # below accepted range
+    assert out[1]["rotation_norm"] == 90
+    assert out[1]["media_width_pt_norm"] == out[1]["width_pt"]  # NULL
+    assert out[1]["crop_width_pt_norm"] == 400.0
+    assert out[1]["img_norm"] == 20.0              # boundary accepted
+    assert out[2]["crop_width_pt_norm"] == 595.2   # crop 0 -> media value
+    assert out[2]["img_norm"] == 1200.0            # boundary accepted
+    assert out[3]["img_norm"] == 150.0             # above accepted range
