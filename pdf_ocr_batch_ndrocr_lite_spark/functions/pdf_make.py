@@ -159,3 +159,131 @@ def build_pdf(page_texts: Sequence[Optional[str]], compress: bool = False,
             enc_num, enc.file_id.hex().encode(), enc.file_id.hex().encode())
     out += b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Searchable-PDF sink writer (S6/S7): invisible text overlay (render mode 3,
+# the reference's setTextRenderMode(3), app.py:2141/2213/2240), optional
+# page image embedded via DCTDecode PASSTHROUGH — the JPEG bytes go into the
+# stream verbatim, so no codec is needed on either side.
+# ---------------------------------------------------------------------------
+
+
+def _fmt(v: float) -> bytes:
+    """PDF number: fixed 2-decimal, trailing-zero-free."""
+    s = f"{float(v):.2f}".rstrip("0").rstrip(".")
+    return (s or "0").encode("ascii")
+
+
+def _escape_literal_bytes(b: bytes) -> bytes:
+    return (b.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)"))
+
+
+def overlay_content(ops, width_pt: float, height_pt: float,
+                    has_image: bool) -> bytes:
+    """Content stream for one page of draw ops from pdf_overlay.
+    Hidden-text bytes are UTF-8 inside the literal string — the single-byte
+    Helvetica caveat is cosmetic (the layer is invisible); extractors see
+    the exact bytes back."""
+    parts = []
+    if has_image:
+        parts.append(b"q " + _fmt(width_pt) + b" 0 0 " + _fmt(height_pt)
+                     + b" 0 0 cm /Im0 Do Q")
+    for op in ops:
+        lit = _escape_literal_bytes(op["text"].encode("utf-8"))
+        size = _fmt(op["size"])
+        if op["kind"] == "vtext":
+            # translate + rotate(-90): cm matrix [0 -1 1 0 0 0]
+            parts.append(
+                b"q 1 0 0 1 " + _fmt(op["tx"]) + b" " + _fmt(op["ty"])
+                + b" cm 0 -1 1 0 0 0 cm BT 3 Tr 0 Tc /F1 " + size
+                + b" Tf 1 0 0 1 0 0 Tm (" + lit + b") Tj ET Q")
+        else:
+            parts.append(
+                b"BT 3 Tr 0 Tc /F1 " + size + b" Tf 1 0 0 1 "
+                + _fmt(op["x"]) + b" " + _fmt(op["y"]) + b" Tm ("
+                + lit + b") Tj ET")
+    return b"\n".join(parts)
+
+
+def jpeg_size(data: bytes):
+    """(width, height) from JPEG SOF0/2 markers; (1, 1) if unparseable."""
+    i = 2
+    n = len(data)
+    while i + 9 < n and data[i] == 0xFF:
+        marker = data[i + 1]
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            h = int.from_bytes(data[i + 5:i + 7], "big")
+            w = int.from_bytes(data[i + 7:i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    return 1, 1
+
+
+def build_searchable_pdf(pages) -> bytes:
+    """One searchable PDF from page specs:
+    ``{"width_pt", "height_pt", "ops": [...], "jpeg": bytes|None}``.
+    Structure: per page one content stream (image paint + invisible text)
+    and, when a JPEG is given, one DCTDecode image XObject carrying the
+    original bytes untouched."""
+    objs: list = [None]  # 1-indexed object sources
+    kids: list = []
+
+    def add(src: bytes) -> int:
+        objs.append(src)
+        return len(objs) - 1
+
+    catalog_num = add(b"")   # placeholders fixed up after numbering
+    pages_num = add(b"")
+    font_num = add(b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Helvetica >>")
+    for spec in pages:
+        jpeg = spec.get("jpeg")
+        img_num = None
+        if jpeg is not None:
+            w, h = jpeg_size(jpeg)
+            img_num = add(b"<< /Type /XObject /Subtype /Image /Width "
+                          + str(w).encode() + b" /Height " + str(h).encode()
+                          + b" /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                          b"/Filter /DCTDecode /Length "
+                          + str(len(jpeg)).encode() + b" >>\nstream\n"
+                          + jpeg + b"\nendstream")
+        content = overlay_content(spec.get("ops", []),
+                                  spec["width_pt"], spec["height_pt"],
+                                  has_image=img_num is not None)
+        content_num = add(b"<< /Length " + str(len(content)).encode()
+                          + b" >>\nstream\n" + content + b"\nendstream")
+        res = b"/Resources << /Font << /F1 " + str(font_num).encode() \
+            + b" 0 R >>"
+        if img_num is not None:
+            res += b" /XObject << /Im0 " + str(img_num).encode() + b" 0 R >>"
+        res += b" >>"
+        page_num = add(b"<< /Type /Page /Parent " + str(pages_num).encode()
+                       + b" 0 R /MediaBox [0 0 " + _fmt(spec["width_pt"])
+                       + b" " + _fmt(spec["height_pt"]) + b"] " + res
+                       + b" /Contents " + str(content_num).encode()
+                       + b" 0 R >>")
+        kids.append(page_num)
+
+    objs[catalog_num] = (b"<< /Type /Catalog /Pages "
+                         + str(pages_num).encode() + b" 0 R >>")
+    objs[pages_num] = (b"<< /Type /Pages /Kids ["
+                       + b" ".join(b"%d 0 R" % k for k in kids)
+                       + b"] /Count " + str(len(kids)).encode() + b" >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num in range(1, len(objs)):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % len(objs)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs), xref_at))
+    return bytes(out)
