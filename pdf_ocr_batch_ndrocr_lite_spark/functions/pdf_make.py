@@ -287,3 +287,21 @@ def build_searchable_pdf(pages) -> bytes:
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objs), xref_at))
     return bytes(out)
+
+
+def image_pdf(data: bytes) -> bytes:
+    """The reference's prepared-document for an image input (app.py:
+    1470-1520): ONE page sized px * 72 / dpi carrying the image.  JPEG
+    rides in via DCTDecode passthrough; PNG would need a pixel re-encode,
+    which is the decode stub's territory — metadata-only callers use
+    image_meta.prepare_image directly."""
+    from . import image_meta
+    meta = image_meta.prepare_image(data)
+    if meta["format"] != "jpeg":
+        raise NotImplementedError(
+            "PNG page embedding needs a pixel re-encode (DECODE STUB); "
+            "JPEG passes through codec-free")
+    return build_searchable_pdf([{
+        "width_pt": meta["width_pt"], "height_pt": meta["height_pt"],
+        "ops": [], "jpeg": bytes(data),
+    }])

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import html_extract, ocr_parse, pdf_scan, textops
+from ..functions import html_extract, image_meta, ocr_parse, pdf_scan, textops
 
 # Output schema of the dispatcher stage.
 EXTRACT_SCHEMA = (
@@ -123,6 +123,23 @@ def extract_raw_pdf(payload: bytes) -> Dict[str, Any]:
             "parse_warnings": 0, "low_coverage": 0}
 
 
+def extract_image(payload: bytes) -> Dict[str, Any]:
+    """Image route (S4): parse dimensions + density from the JPEG/PNG
+    headers, normalize DPI through the reference's accepted range
+    (app.py:1470-1520, 3911-3918), and route to OCR — images never carry a
+    text layer, so the reference sends every readable image onward.
+    Structurally unreadable image bytes → parse_failure."""
+    try:
+        image_meta.prepare_image(payload)
+    except ValueError:
+        return {"action": ACTION_PARSE_FAILURE, "extracted_text": "",
+                "page_count": 0, "token_count": 0, "block_count": 0,
+                "parse_warnings": 1, "low_coverage": 0}
+    return {"action": ACTION_NEEDS_OCR, "extracted_text": "",
+            "page_count": 1, "token_count": 0, "block_count": 0,
+            "parse_warnings": 0, "low_coverage": 0}
+
+
 def extract_html_document(payload: bytes) -> Dict[str, Any]:
     """HTML route: boilerplate strip → main text (north-star extension)."""
     text = html_extract.extract_main_text(
@@ -143,6 +160,10 @@ def extract_one(url: str, payload: bytes, lang: str) -> Dict[str, Any]:
         if head.startswith(b"%PDF-"):
             kind = "rawpdf"
             out = extract_raw_pdf(bytes(payload))
+        elif bytes(payload[:2]) == b"\xff\xd8" \
+                or bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+            kind = "image"
+            out = extract_image(bytes(payload))
         elif head.startswith(b"{"):
             envelope = json.loads(bytes(payload).decode("utf-8"))
             if isinstance(envelope, dict) and envelope.get("kind") == "pdf":

@@ -24,7 +24,7 @@ from typing import Any, Dict, Iterator, List
 
 import pandas as pd
 
-from ..functions import pdf_make
+from ..functions import image_meta, pdf_make
 
 EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 LANGS = ["ja", "en", "de", "es", "zh"]
@@ -307,6 +307,29 @@ def _make_pdf_envelope(rng: random.Random, lang: str) -> bytes:
 RAW_PDF_MOD = 17
 RAW_PDF_SLOT = 3
 
+# every 23rd-ish row (that isn't a raw-PDF slot) carries raw IMAGE bytes —
+# JPEG/PNG headers with real dimension+density metadata (functions/
+# image_meta), exercising the S4 image-normalization route end to end
+IMAGE_MOD = 23
+IMAGE_SLOT = 5
+
+
+def _make_image(rng: random.Random) -> bytes:
+    w = 200 + rng.randrange(1200)
+    h = 200 + rng.randrange(1600)
+    r = rng.random()
+    if r < 0.35:
+        return image_meta.make_fake_jpeg(w, h, dpi=rng.choice([72, 96, 300]))
+    if r < 0.55:
+        return image_meta.make_fake_jpeg(w, h)           # no density → 150
+    if r < 0.70:
+        return image_meta.make_fake_jpeg(w, h, dpi=118, units=2)  # dpcm
+    if r < 0.85:
+        return image_meta.make_fake_png(w, h, dpi=300.0)
+    if r < 0.95:
+        return image_meta.make_fake_png(w, h)            # no pHYs → 150
+    return image_meta.make_fake_jpeg(w, h)[:6]           # truncated fetch
+
 
 def _make_raw_pdf(rng: random.Random, lang: str) -> bytes:
     n_pages = rng.randint(1, 3)
@@ -378,6 +401,14 @@ def make_row(seed: int, index: int) -> Dict[str, Any]:
             "url": url,
             "warc_ts": EPOCH + _dt.timedelta(seconds=index),
             "html": _make_raw_pdf(rng, lang),
+            "text": "",
+            "lang": lang,
+        }
+    if index % IMAGE_MOD == IMAGE_SLOT:
+        return {
+            "url": url,
+            "warc_ts": EPOCH + _dt.timedelta(seconds=index),
+            "html": _make_image(rng),
             "text": "",
             "lang": lang,
         }

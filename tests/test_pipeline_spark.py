@@ -142,3 +142,14 @@ def test_partial_resume_no_duplicates(spark, tmp_path):
 
     final = spark.read.parquet(out)
     assert final.count() == final.select("url").distinct().count()
+
+
+def test_image_rows_in_corpus(results):
+    kinds = {r["doc_kind"] for r in results.values()}
+    assert "image" in kinds
+    imgs = [r for r in results.values() if r["doc_kind"] == "image"]
+    img_actions = {r["action"] for r in imgs}
+    # readable images route to OCR; truncated fetches fail cleanly
+    assert E.ACTION_NEEDS_OCR in img_actions
+    for r in imgs:
+        assert r["action"] in (E.ACTION_NEEDS_OCR, E.ACTION_PARSE_FAILURE)
