@@ -87,7 +87,19 @@ class StorageAdapter:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # materialize before overwrite (parquet can't overwrite its own input)
-        rows = latest.collect()
-        out = latest.sparkSession.createDataFrame(rows, latest.schema)
-        out.write.mode("overwrite").parquet(path)
+        # parquet can't overwrite its own input: stage the merged table
+        # beside it, then swap directories.  Fully distributed — no driver
+        # collect (round 1 collected the table; bounded, but a wart).  If a
+        # crash lands between the remove and the rename the checkpoint is
+        # lost, which is SAFE: the keyed output sink makes a full replay
+        # idempotent (overwrite-by-partition-key), just slower.
+        import shutil
+        staging = path.rstrip("/") + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        latest.write.mode("overwrite").parquet(staging)
+        old = path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
