@@ -101,7 +101,8 @@ def main() -> None:
     spark = build(f"local[{CPUS}]", CPUS)
     # warm-up: fork python workers / JIT before timing
     bench_extraction(spark, 200, CPUS)
-    ext_sec, docs, pages = bench_extraction(spark, n_docs, CPUS * 4)
+    ext_sec, docs, pages = bench_extraction(spark, n_docs, CPUS * 4,
+                                            repeats=2)
     qtimes = bench_queries(spark)
     spark.stop()
 
