@@ -431,6 +431,89 @@ def count_text_chars(content: bytes) -> int:
     return total
 
 
+_BT_RE = re.compile(rb"(?<![A-Za-z])BT(?![A-Za-z])")
+_ET_RE = re.compile(rb"(?<![A-Za-z])ET(?![A-Za-z])")
+
+
+def extract_text_layer(content: bytes) -> str:
+    """Text shown by a page's content stream, in stream order: the operand
+    bytes of every Tj/TJ/'/\" (TJ arrays concatenated, kern offsets
+    dropped), grouped per BT..ET block and joined with newlines.
+
+    This is the EXTENSION path for searchable PDFs a crawl carries — the
+    reference plans such files OUT of OCR instead of extracting them
+    (app.py:1306-1352), so there is no reference fixture to match; the
+    bytes round-trip exactly through this engine's own writer (q47 proves
+    writer → parser → extractor equals a pure-SQL reconstruction).  Glyph
+    decoding through font CMaps is out of scope: operand BYTES are decoded
+    as UTF-8 (exact for this writer and for simple-font PDFs)."""
+    blocks: List[bytes] = []
+    cur: List[bytes] = []
+    last_string: Optional[bytes] = None
+    last_array: Optional[bytes] = None
+    in_array = False
+    array_strings: List[bytes] = []
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            s, i = _read_literal_string(content, i)
+            if in_array:
+                array_strings.append(s)
+            else:
+                last_string = s
+            continue
+        if c == 0x3C and content[i:i + 2] != b"<<":  # <hex>
+            end = content.find(b">", i + 1)
+            if end < 0:
+                break
+            hx = re.sub(rb"\s+", b"", content[i + 1:end])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                s = bytes.fromhex(hx.decode("ascii"))
+            except ValueError:
+                s = b""
+            if in_array:
+                array_strings.append(s)
+            else:
+                last_string = s
+            i = end + 1
+            continue
+        if c == 0x5B:  # [
+            in_array = True
+            array_strings = []
+            i += 1
+            continue
+        if c == 0x5D:  # ]
+            in_array = False
+            last_array = b"".join(array_strings)
+            i += 1
+            continue
+        m = TEXT_SHOW_OPERATOR_RE.match(content, i)
+        if m:
+            if m.group(1) == b"TJ":
+                if last_array is not None:
+                    cur.append(last_array)
+                    last_array = None
+            elif last_string is not None:
+                cur.append(last_string)
+                last_string = None
+            i = m.end()
+            continue
+        if _ET_RE.match(content, i):
+            if cur:
+                blocks.append(b"".join(cur))
+                cur = []
+            i += 2
+            continue
+        i += 1
+    if cur:
+        blocks.append(b"".join(cur))
+    return "\n".join(b.decode("utf-8", errors="replace") for b in blocks)
+
+
 def has_text_layer_raw(
     data: bytes,
     pages_to_check: int = DEFAULT_TEXT_LAYER_CHECK_PAGES,

@@ -22,15 +22,18 @@ from pyspark.sql import DataFrame
 from ..functions import pdf_scan
 
 PAGE_STATS_SCHEMA = ("url string, page_index int, n_text_ops int, "
-                     "n_chars int")
+                     "n_chars int, text_layer string")
 
 
 def pdf_page_stats(pages: DataFrame, url_col: str = "url",
                    payload_col: str = "html") -> DataFrame:
-    """Explode raw-PDF documents to per-page (n_text_ops, n_chars) rows."""
+    """Explode raw-PDF documents to per-page rows: the text-layer signals
+    (op count, stripped chars) plus the extracted text layer itself
+    (show-string bytes in stream order — the no-OCR-needed fast path for
+    searchable PDFs in the crawl)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "page_index", "n_text_ops", "n_chars"]
+        cols = ["url", "page_index", "n_text_ops", "n_chars", "text_layer"]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -47,6 +50,8 @@ def pdf_page_stats(pages: DataFrame, url_col: str = "url",
                     out["n_text_ops"].append(
                         pdf_scan.count_text_show_ops(content))
                     out["n_chars"].append(pdf_scan.count_text_chars(content))
+                    out["text_layer"].append(
+                        pdf_scan.extract_text_layer(content))
             yield pd.DataFrame(out, columns=cols)
 
     return pages.select(url_col, payload_col) \

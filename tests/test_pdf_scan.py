@@ -269,3 +269,41 @@ def test_bad_flate_degrades_to_zero_ops():
                     filt=b"/Filter /FlateDecode "),
     )
     assert ps.has_text_layer_raw(pdf) == (False, 1)
+
+
+# --- text-layer extraction ---------------------------------------------------
+
+
+def test_extract_text_layer_all_operator_forms():
+    content = (b"BT (a) Tj (b) Tj ET "
+               b"BT [(c) -120 (d) 55 (e)] TJ ET "
+               b"BT <4648> Tj ET "
+               b"BT (q) ' ET "
+               b'BT (z) " ET')
+    assert ps.extract_text_layer(content) == "ab\ncde\nFH\nq\nz"
+
+
+def test_extract_text_layer_roundtrip_through_writer():
+    pdf = pm.build_pdf(["hello world", "second page"])
+    texts = [ps.extract_text_layer(s)
+             for s in ps.page_content_streams(pdf)]
+    assert texts == ["hello world", "second page"]
+
+
+def test_extract_text_layer_ignores_non_show_strings():
+    # strings used as operands of OTHER operators must not leak into text
+    content = b"(meta) 5 0 obj? no: /T (name) Tf BT (real) Tj ET"
+    assert ps.extract_text_layer(content) == "real"
+
+
+def test_page_stats_text_layer_column(spark):
+    import pandas as pd
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import pdfpages as pp
+    df = spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "html": pm.build_pdf(
+            ["layer one", None, "layer three"])}]),
+        "url string, html binary")
+    got = {r["page_index"]: r["text_layer"]
+           for r in pp.pdf_page_stats(df).collect()}
+    assert got == {0: "layer one", 1: "", 2: "layer three"}
