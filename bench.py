@@ -77,7 +77,9 @@ def bench_queries(spark):
              "q13_jaccard_pairs", "q15_ann_topk", "q17_lang_id",
              "q19_token_counts", "q20_fingerprint", "q23_events_window",
              "q29_embedding_near_dup", "q31_url_canonicalize",
-             "q32_domain_cap"]
+             "q32_domain_cap",
+             # round-2 raw-byte operators: PDF write+parse both directions
+             "q41_pdf_page_explode", "q45_searchable_pdf_sink"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
