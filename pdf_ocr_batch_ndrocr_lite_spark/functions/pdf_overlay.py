@@ -40,8 +40,12 @@ def _line_ops(tokens: Sequence[textops.Token], width_pt: float,
         x_pt = max(0.0, min_x * sx)
         baseline = height_pt - (max_y * sy) + max(0.5, bbox_h_pt * 0.15)
         font_size = max(4.0, min(72.0, bbox_h_pt * 0.85))
+        # the reference clamps the text origin unconditionally so tokens at
+        # the very top of the page stay inside it (app.py:2156
+        # setTextOrigin(x_pt, max(0.0, min(height_pt - font_size, baseline))))
+        y_pt = max(0.0, min(height_pt - font_size, baseline))
         ops.append({"kind": "text", "text": line_text, "x": x_pt,
-                    "y": baseline, "size": font_size})
+                    "y": y_pt, "size": font_size})
     return ops
 
 

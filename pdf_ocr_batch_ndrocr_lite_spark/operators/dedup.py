@@ -241,39 +241,49 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 # WWW 2007): 60-bit weighted-majority fingerprint.  Per-word hash = first 15
 # hex chars of md5 parsed as int64 (uniform in [0, 2^60)) — deterministic
 # and ANSI-SQL-expressible, so the fingerprint has an exact DuckDB oracle
-# twin (xxhash64 would be Spark-only).  Bit-majority via explode over bit
-# positions — fully declarative, one groupBy(doc).  Hamming-near pairs join
-# on rotated prefixes in practice; here we expose the fingerprint and an
-# exact-band grouping.  Spark-only fast path: swap the hash expression for
-# F.xxhash64 — the plan shape is identical.
+# twin (xxhash64 would be Spark-only; note the format break vs a previous
+# xxhash64 revision — persisted fingerprints from that revision are
+# incompatible).  The 60-bit ceiling is structural: 15 hex chars = 60 bits,
+# so bits > 60 would silently produce always-zero high bits — rejected.
+#
+# Scale shape: ALL `bits` votes are computed per word inside ONE projection
+# (shiftright + bit mask per position — whole-stage-codegen arithmetic, no
+# explode), then a single groupBy(doc) sums the per-bit vote columns.  The
+# groupBy input is O(words) rows — not O(words × bits) as an
+# explode-over-bit-positions formulation would ship — and Spark's partial
+# aggregation combines map-side, so the shuffle itself carries one
+# 60-column sum row per (doc, map partition).
 # ---------------------------------------------------------------------------
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 60) -> DataFrame:
     """(id, simhash bigint).  Majority vote per bit over word hashes."""
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits must be in [1, 60] (md5-derived word hash is 60 bits "
+            f"wide; higher positions would always be zero): got {bits}")
     words = docs.select(
         F.col(id_col), F.explode(_words(text_col)).alias("word")
     ).withColumn(
         "wh",
         F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint"))
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    votes = words.select(
-        id_col,
-        F.explode(bit_idx).alias("bit"),
-        F.col("wh"),
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(shiftright(wh, bit) & 1L) = 1"), F.lit(1))
-        .otherwise(F.lit(-1)),
-    )
-    bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy(id_col).agg(
+    # vote_b ∈ {+1, -1} per word, all bits in one codegen'd projection
+    vote_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            F.when(F.expr(f"(shiftright(wh, {b}) & 1L) = 1"), F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    bitsums = words.groupBy(id_col).agg(*vote_sums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0,
+                      F.lit(1 << b).cast("bigint")) \
             .otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bitsums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -297,18 +307,47 @@ def _norm(a):
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              bucket_col: str = "label",
-                             threshold: float = 0.95) -> DataFrame:
+                             threshold: float = 0.95,
+                             bucket_cap: int = 1024,
+                             max_salts: int = 64) -> DataFrame:
     """Cosine-similar pairs within coarse buckets (IVF-style: only same-bucket
     pairs compared — the 100 TB path replaces `bucket_col` with a learned
-    coarse quantizer; the join shape is identical)."""
+    coarse quantizer; the join shape is identical).
+
+    Hot-bucket guard: a same-bucket self-join is O(n²) in bucket size, and
+    with a skewed label distribution (or a degenerate quantizer cell) ONE
+    bucket can own the stage as a single straggler task.  Buckets larger
+    than ``bucket_cap`` are therefore salt-split into
+    ``s = min(max_salts, ceil(n / bucket_cap))`` cells by id hash: the
+    left side is replicated into every cell, the right side lands in its
+    own cell, and the join key becomes (bucket, cell) — total comparison
+    work is unchanged (it is the operator's output contract) but the
+    largest task shrinks by ~s and the hot bucket runs on s cores instead
+    of one.  Each qualifying pair is matched exactly once (a replicated
+    into b's cell; the a_id < b_id filter kills the mirror orientation),
+    so results are identical for any cap — buckets at or under the cap
+    take s = 1, the plain self-join."""
     base = emb.select(
         F.col(id_col), F.col(bucket_col).alias("_bk"),
         F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    # one row per bucket — broadcast the salt-factor dimension
+    salts = (base.groupBy("_bk")
+             .agg(F.count(F.lit(1)).alias("_bn"))
+             .select(
+                 "_bk",
+                 F.least(
+                     F.lit(max_salts).cast("int"),
+                     F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+                 ).alias("_s")))
+    cells = base.join(F.broadcast(salts), "_bk").withColumn(
+        "_cell", F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.col("_s")))
+    a = (cells.withColumn(
+            "_jcell", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+         .drop("_cell", "_s").alias("a"))
+    b = cells.withColumnRenamed("_cell", "_jcell").drop("_s").alias("b")
     return (
-        a.join(b, F.col("a._bk") == F.col("b._bk"))
+        a.join(b, ["_bk", "_jcell"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .withColumn(
             "cosine",

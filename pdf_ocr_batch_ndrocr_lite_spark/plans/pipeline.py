@@ -18,6 +18,7 @@ Replaces the reference's sequential per-file loop + CSV log
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,8 +29,19 @@ from ..sources.storage import StorageAdapter
 from . import checkpoint as ck
 
 
+def _default_driver_memory_gb() -> int:
+    """Half of physical RAM, clamped to [2, 48] GiB — sized for local mode
+    where the driver JVM hosts every executor thread's Arrow buffers."""
+    try:
+        total = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+        return max(2, min(48, int(total / (1 << 30) / 2)))
+    except (ValueError, OSError, AttributeError):
+        return 4
+
+
 def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
-                  shuffle_partitions: int = 32) -> SparkSession:
+                  shuffle_partitions: int = 32,
+                  driver_memory: Optional[str] = None) -> SparkSession:
     """Session tuned for the extraction workload: AQE for runtime re-plan and
     skew-join splitting, Arrow batches capped so no batch exceeds a page
     budget (north rule).
@@ -39,15 +51,21 @@ def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
     JVM exists (pyspark client mode), which is how a 1g default heap and 1g
     netty direct-memory cap survived round 1 unnoticed until the 500k-doc
     soak OOMed Arrow IPC buffers.  On a real cluster the same flags ride
-    spark-submit (--driver-memory / --conf spark.executor.memory)."""
-    import os as _os
-    if "PYSPARK_SUBMIT_ARGS" not in _os.environ:
+    spark-submit (--driver-memory / --conf spark.executor.memory).
+
+    ``driver_memory`` defaults to half of physical RAM (clamped 2-48g) so
+    library import on a small host never demands a machine-sized heap; an
+    existing PYSPARK_SUBMIT_ARGS always wins (we never clobber caller/env
+    intent), and once any JVM is up in this process the setting is a no-op
+    by construction."""
+    mem = driver_memory or f"{_default_driver_memory_gb()}g"
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
         # GCLockerRetryAllocationCount: 32 executor threads doing Arrow JNI
         # allocations trip JDK-17 G1's "Retried waiting for GCLocker too
         # often" spurious OOM — raise the retry budget.  32m regions keep
         # multi-MB document byte[]s out of the humongous-allocation path.
-        _os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            "--driver-memory 48g "
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} "
             "--driver-java-options "
             "'-XX:MaxDirectMemorySize=8g -Dderby.system.home=/tmp/derby "
             "-XX:+UnlockDiagnosticVMOptions "
@@ -59,7 +77,7 @@ def build_session(app_name: str = "pdf-extract", master: str = "local[*]",
         .master(master)
         # local mode runs everything in the driver JVM: size its heap for
         # cached input + Arrow buffers (default 1g thrashes GC)
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", mem)
         .config("spark.driver.maxResultSize", "4g")
         # keep managed-table state out of the working directory
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")

@@ -65,7 +65,8 @@ class StorageAdapter:
         """Upsert by key, newest ``order_col`` wins.
 
         Iceberg: ``MERGE INTO target USING updates ON keys WHEN MATCHED THEN
-        UPDATE ... WHEN NOT MATCHED THEN INSERT``.  Parquet fallback:
+        UPDATE ... WHEN NOT MATCHED THEN INSERT``.  Parquet fallback
+        (LOCAL FILESYSTEM ONLY — it swaps directories with os.rename):
         read + union + keep latest per key + overwrite (the checkpoint table
         is tiny — one row per partition key — so this stays cheap even at
         10^12-document scale: key cardinality is the bucket count, not the
@@ -88,12 +89,20 @@ class StorageAdapter:
             .drop("_rn")
         )
         # parquet can't overwrite its own input: stage the merged table
-        # beside it, then swap directories.  Fully distributed — no driver
-        # collect (round 1 collected the table; bounded, but a wart).  If a
+        # beside it, then swap directories.  The compute is distributed (no
+        # driver collect); the SWAP is driver-local os.rename, so this
+        # fallback is LOCAL-FILESYSTEM ONLY — HDFS/S3/abfs deployments must
+        # use the Iceberg path (use_iceberg=True), whose MERGE INTO commit is
+        # the real production mechanism.  If a
         # crash lands between the remove and the rename the checkpoint is
         # lost, which is SAFE: the keyed output sink makes a full replay
         # idempotent (overwrite-by-partition-key), just slower.
         import shutil
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                "parquet merge_upsert fallback swaps directories with local "
+                f"os.rename and cannot target {path!r}; use "
+                "StorageAdapter(use_iceberg=True) for non-local URIs")
         staging = path.rstrip("/") + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
         latest.write.mode("overwrite").parquet(staging)

@@ -186,3 +186,104 @@ def test_geometry_reference_semantics(spark):
     assert out[2]["crop_width_pt_norm"] == 595.2   # crop 0 -> media value
     assert out[2]["img_norm"] == 1200.0            # boundary accepted
     assert out[3]["img_norm"] == 150.0             # above accepted range
+
+
+# ---------------------------------------------------------------------------
+# simhash: all 60 bit votes in one projection — no bit-position explode
+# multiplying the groupBy input by 60.
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_rejects_bits_over_60():
+    import pytest
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        dd.simhash(None, bits=61)
+    with pytest.raises(ValueError):
+        dd.simhash(None, bits=0)
+
+
+def test_simhash_plan_has_no_bit_explode(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")],
+                               "doc_id int, text string")
+    plan = dd.simhash(df)._jdf.queryExecution().optimizedPlan().toString()
+    # exactly ONE Generate (the word explode); a bit-position explode
+    # would add a second and multiply shuffle input rows by 60
+    assert plan.count("Generate") == 1
+    assert plan.count("Aggregate") == 1  # one groupBy(doc), no per-bit agg
+
+
+def test_simhash_matches_python_majority_vote(spark):
+    import hashlib
+    docs = [(1, "the quick brown fox the"),   # duplicate word: weighted vote
+            (2, "lorem ipsum dolor sit amet"),
+            (3, "single")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    for did, text in docs:
+        words = [w for w in text.split() if w]
+        fp = 0
+        for b in range(60):
+            v = 0
+            for w in words:
+                wh = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                v += 1 if (wh >> b) & 1 else -1
+            if v > 0:
+                fp |= 1 << b
+        assert got[did] == fp, did
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup_pairs: hot-bucket salt split — one skewed bucket must
+# not become a single O(n^2) task, and results must be cap-invariant.
+# ---------------------------------------------------------------------------
+
+
+def _skewed_embeddings(spark, hot_n=40, cold_n=4):
+    """One hot bucket with 10x the rows of each cold bucket; vectors i and
+    i+1 (even i, hot bucket) are identical → guaranteed near-dup pairs."""
+    rows = []
+    for i in range(hot_n):
+        base = i // 2  # pairs share a vector
+        vec = [float((base * 7 + j * 3) % 11 + 1) for j in range(8)]
+        rows.append((i, "hot", vec))
+    for i in range(cold_n):
+        vec = [float((i * 13 + j) % 9 + 1) for j in range(8)]
+        rows.append((100 + i, "cold", vec))
+    return spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>")
+
+
+def test_embedding_near_dup_cap_invariant(spark):
+    emb = _skewed_embeddings(spark)
+    def key(rows):
+        return {(r["a_id"], r["b_id"], r["cosine"]) for r in rows}
+    plain = key(dd.embedding_near_dup_pairs(
+        emb, threshold=0.999999, bucket_cap=10**9).collect())
+    split = key(dd.embedding_near_dup_pairs(
+        emb, threshold=0.999999, bucket_cap=8).collect())
+    # the engineered identical-vector pairs are found (other modular
+    # collisions in the synthetic vectors may also qualify — fine)
+    assert {(i, i + 1) for i in range(0, 40, 2)} <= \
+        {(a, b) for a, b, _ in plain}
+    # each pair appears exactly once (the replicated a-side must not
+    # double-count), and the salt split changes nothing
+    assert len(plain) == len({(a, b) for a, b, _ in plain})
+    assert split == plain
+
+
+def test_embedding_hot_bucket_split_bounds_cell_size(spark):
+    """With cap=8 the 40-row hot bucket splits into s=5 cells: the largest
+    single join cell sees 40 (replicated a-side) x ~8 (b-side) candidates
+    instead of 40 x 40 — the straggler task shrinks ~s-fold."""
+    from pyspark.sql import functions as F2
+    emb = _skewed_embeddings(spark)
+    s = 5  # ceil(40 / 8)
+    cells = (emb.filter(F2.col("label") == "hot")
+             .select(F2.pmod(F2.xxhash64("vec_id", F2.lit(7)),
+                             F2.lit(s)).alias("cell"))
+             .groupBy("cell").count().collect())
+    assert len(cells) > 1  # the bucket genuinely spreads over cells
+    max_cell = max(r["count"] for r in cells)
+    assert max_cell < 40  # no cell inherits the whole bucket
+    # per-cell candidate volume: a-side (full bucket) x b-side (one cell)
+    assert 40 * max_cell < 40 * 40

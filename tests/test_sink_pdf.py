@@ -156,3 +156,25 @@ def test_jpeg_passthrough_in_sink_output():
     streams = pdf_scan.page_content_streams(pdf)
     assert b"/Im0 Do" in streams[0]
     assert pdf_scan.count_text_show_ops(streams[0]) == 1
+
+
+def test_line_overlay_baseline_clamped_at_page_top():
+    """Tokens at the very top of the page: the reference clamps the text
+    origin y to [0, height_pt - font_size] unconditionally (app.py:2156),
+    so a raw baseline above the page must come back clamped."""
+    height_pt, width_pt = 792.0, 612.0
+    # y2 = 4px on a 1400px page → max_y*sy tiny → raw baseline ≈ height_pt
+    toks = [textops.Token("top", 10.0, 0.0, 60.0, 4.0),
+            textops.Token("line", 70.0, 0.0, 120.0, 4.0)]
+    ops = pdf_overlay.page_draw_ops(toks, [], 1000, 1400, width_pt, height_pt)
+    assert len(ops) == 1
+    op = ops[0]
+    sy = height_pt / 1400
+    avg_h = sum(float(t.y2) - float(t.y1) for t in toks) / len(toks)
+    bbox_h_pt = max(1.0, avg_h * sy)
+    raw_baseline = height_pt - 4.0 * sy + max(0.5, bbox_h_pt * 0.15)
+    font_size = max(4.0, min(72.0, bbox_h_pt * 0.85))
+    assert op["size"] == font_size
+    assert raw_baseline > height_pt - font_size  # the case that clamps
+    assert op["y"] == max(0.0, min(height_pt - font_size, raw_baseline))
+    assert op["y"] <= height_pt - font_size
