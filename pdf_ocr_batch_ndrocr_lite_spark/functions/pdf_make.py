@@ -76,6 +76,93 @@ def _escape_literal(s: bytes) -> bytes:
             .replace(b")", b"\\)"))
 
 
+# ---------------------------------------------------------------------------
+# Stream-filter encoders (the writer-side twins of pdf_scan's decoders).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible encoder: 9→12-bit MSB-first variable codes,
+    clear (256) first, EOD (257) last, EarlyChange=1."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= 4094:
+            # table full at 12 bits: clear (decoder resets in lockstep)
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        # EarlyChange=1 timing, mirroring the decoder: it grows width once
+        # ITS table (258 + adds, one behind ours) reaches 2^w - 1
+        elif next_code >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _run_length_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+# filter name → (encoder, needs `import` guard?)  Applied writer-side; the
+# scanner's _decode_stream must invert each exactly (round-trip tested).
+def encode_stream(data: bytes, stream_filter: Optional[str]):
+    """(encoded bytes, /Filter dict fragment) for one content stream."""
+    import base64
+    if stream_filter is None:
+        return data, b""
+    if stream_filter == "flate":
+        return zlib.compress(data), b"/Filter /FlateDecode "
+    if stream_filter == "lzw":
+        return _lzw_encode(data), b"/Filter /LZWDecode "
+    if stream_filter == "ahx":
+        return data.hex().encode("ascii") + b">", \
+            b"/Filter /ASCIIHexDecode "
+    if stream_filter == "a85":
+        return base64.a85encode(data) + b"~>", b"/Filter /ASCII85Decode "
+    if stream_filter == "rl":
+        return _run_length_encode(data), b"/Filter /RunLengthDecode "
+    if stream_filter == "jpx":
+        # deliberately-unsupported filter: the payload is opaque, the
+        # scanner must surface a parse warning instead of counting 0 text
+        return data, b"/Filter /JPXDecode "
+    raise ValueError(f"unknown stream_filter {stream_filter!r}")
+
+
 def page_content(text: Optional[str]) -> bytes:
     """Content stream for one page: a Tj text-show when `text` is
     non-empty, otherwise a pure vector drawing (zero text ops — exactly the
@@ -88,12 +175,18 @@ def page_content(text: Optional[str]) -> bytes:
 
 def build_pdf(page_texts: Sequence[Optional[str]], compress: bool = False,
               user_pw: Optional[str] = None,
-              corrupt: bool = False) -> bytes:
+              corrupt: bool = False,
+              stream_filter: Optional[str] = None) -> bytes:
     """Build one PDF.  `page_texts[i]` is page i's shown text (None/'' →
     image-like page with no text operators).  `user_pw` switches on RC4
     encryption (empty string = empty user password, which the scanner's
     decrypt('') attempt must accept; non-empty = the attempt must fail).
-    `corrupt` truncates the body mid-object → structural parse failure."""
+    `corrupt` truncates the body mid-object → structural parse failure.
+    `stream_filter` selects the content-stream encoding ('flate', 'lzw',
+    'ahx', 'a85', 'rl', or 'jpx' for a deliberately-undecodable stream);
+    `compress=True` is the back-compat spelling of 'flate'."""
+    if compress and stream_filter is None:
+        stream_filter = "flate"
     enc = _Encryption(user_pw=user_pw) if user_pw is not None else None
     n_pages = len(page_texts)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page
@@ -114,11 +207,9 @@ def build_pdf(page_texts: Sequence[Optional[str]], compress: bool = False,
                     b"/Resources << /Font << /F1 3 0 R >> >> "
                     b"/Contents %d 0 R >>" % content_num)
         data = page_content(text)
-        if compress:
-            data = zlib.compress(data)
+        data, filt = encode_stream(data, stream_filter)
         if enc is not None:
             data = enc.encrypt_stream(data, content_num, 0)
-        filt = b"/Filter /FlateDecode " if compress else b""
         bodies.append((content_num,
                        b"<< " + filt + b"/Length "
                        + str(len(data)).encode() + b" >>\nstream\n"
@@ -158,6 +249,140 @@ def build_pdf(page_texts: Sequence[Optional[str]], compress: bool = False,
         out += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             enc_num, enc.file_id.hex().encode(), enc.file_id.hex().encode())
     out += b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Glyph-decoding fixtures: the font classes pdf_scan must map the way pypdf
+# does (app.py:1202-1223) — a simple font remapped via /Encoding
+# /Differences, and a 2-byte Type0/CID font with a /ToUnicode bfrange CMap
+# (the class that MISCOUNTS 2x if chars are counted as bytes).
+# ---------------------------------------------------------------------------
+
+
+def _xref_trailer(out: bytearray, offsets: List[int],
+                  total_objs: int) -> bytes:
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (total_objs + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (total_objs + 1, xref_at))
+    return bytes(out)
+
+
+def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
+    """One-page PDF whose show string is `codes` under a remapping font.
+
+    variant='differences': simple Type1 font; /Encoding /Differences maps
+      byte code c (97..122) to glyph /uniXXXX with XXXX = 0x3042 + (c-97)
+      (hiragana), so the decoded text differs from the shown bytes.
+    variant='cid': Type0 /Identity-H font, 2-byte codes shown as a hex
+      string; /ToUnicode bfrange <0001><0400> → U+4E00.. (CJK ideographs).
+      Char count must be len(codes), NOT 2*len(codes).
+    """
+    objs: List[bytes] = [b""]  # 1-indexed
+
+    def add(src: bytes) -> int:
+        objs.append(src)
+        return len(objs) - 1
+
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")        # 1
+    add(b"")                                          # 2 pages (fixed below)
+    if variant == "differences":
+        diff_names = b" ".join(
+            b"/uni%04X" % (0x3042 + c) for c in range(26))
+        font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Remapped "
+                b"/Encoding << /Differences [97 " + diff_names + b"] >> >>")
+        font_num = add(font)
+        lit = _escape_literal(bytes(codes))
+        content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
+    elif variant == "cid":
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"1 beginbfrange\n<0001> <0400> <4E00>\nendbfrange\n"
+                b"end\n")
+        tu_num = add(b"<< /Length " + str(len(cmap)).encode()
+                     + b" >>\nstream\n" + cmap + b"\nendstream")
+        font_num = add(b"<< /Type /Font /Subtype /Type0 "
+                       b"/BaseFont /RemappedCID /Encoding /Identity-H "
+                       b"/ToUnicode " + str(tu_num).encode() + b" 0 R >>")
+        hx = b"".join(b"%04X" % c for c in codes)
+        content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
+    else:
+        raise ValueError(f"unknown glyph variant {variant!r}")
+    content_num = add(b"<< /Length " + str(len(content)).encode()
+                      + b" >>\nstream\n" + content + b"\nendstream")
+    page_num = add(b"<< /Type /Page /Parent 2 0 R "
+                   b"/MediaBox [0 0 612 792] "
+                   b"/Resources << /Font << /F1 " + str(font_num).encode()
+                   + b" 0 R >> >> /Contents " + str(content_num).encode()
+                   + b" 0 R >>")
+    objs[2] = (b"<< /Type /Pages /Kids [" + str(page_num).encode()
+               + b" 0 R] /Count 1 >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num in range(1, len(objs)):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    return _xref_trailer(out, offsets, len(objs) - 1)
+
+
+def build_objstm_pdf(page_texts: Sequence[Optional[str]]) -> bytes:
+    """PDF-1.5-style layout: catalog, page tree, and font dicts live inside
+    a FlateDecode /ObjStm — a plain `N G obj` scan sees ZERO pages unless
+    it expands object streams (pdf_scan._expand_object_streams).  Content
+    streams stay top-level (streams cannot live inside an ObjStm)."""
+    n_pages = len(page_texts)
+    # numbering: 1 catalog, 2 pages, 3 font (all inside the ObjStm),
+    # 4..3+n content streams (top-level), 4+n the ObjStm itself
+    inner: List[bytes] = []
+    kids = b" ".join(b"%d 0 R" % (100 + i) for i in range(n_pages))
+    inner.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    inner.append((2, b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                  + str(n_pages).encode() + b" >>"))
+    inner.append((3, b"<< /Type /Font /Subtype /Type1 "
+                  b"/BaseFont /Helvetica >>"))
+    contents: List[bytes] = []
+    for i, text in enumerate(page_texts):
+        content_num = 4 + i
+        inner.append((100 + i,
+                      b"<< /Type /Page /Parent 2 0 R "
+                      b"/MediaBox [0 0 612 792] "
+                      b"/Resources << /Font << /F1 3 0 R >> >> "
+                      b"/Contents %d 0 R >>" % content_num))
+        contents.append(page_content(text))
+    # assemble the ObjStm payload: "num off num off ..." header + bodies
+    bodies = [src for _, src in inner]
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (num, off)
+                       for (num, _), off in zip(inner, offs)) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    first = len(header)
+    packed = zlib.compress(payload)
+    objstm_num = 4 + n_pages + 100  # any free number above the page ids
+    objstm = (b"<< /Type /ObjStm /N " + str(len(inner)).encode()
+              + b" /First " + str(first).encode()
+              + b" /Filter /FlateDecode /Length "
+              + str(len(packed)).encode() + b" >>\nstream\n" + packed
+              + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    top: List[bytes] = []
+    for i, content in enumerate(contents):
+        top.append((4 + i, b"<< /Length " + str(len(content)).encode()
+                    + b" >>\nstream\n" + content + b"\nendstream"))
+    top.append((objstm_num, objstm))
+    for num, src in top:
+        out += b"%d 0 obj\n" % num + src + b"\nendobj\n"
+    # minimal trailer: the scanner never walks xref, it only needs /Root
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     return bytes(out)
 
 
@@ -242,6 +467,7 @@ def build_searchable_pdf(pages) -> bytes:
                    b"/BaseFont /Helvetica >>")
     for spec in pages:
         jpeg = spec.get("jpeg")
+        png = spec.get("png")  # png_pixel_info dict: codec-free Flate embed
         img_num = None
         if jpeg is not None:
             w, h = jpeg_size(jpeg)
@@ -251,6 +477,23 @@ def build_searchable_pdf(pages) -> bytes:
                           b"/Filter /DCTDecode /Length "
                           + str(len(jpeg)).encode() + b" >>\nstream\n"
                           + jpeg + b"\nendstream")
+        elif png is not None:
+            # PNG IDAT == zlib(scanlines with per-row predictor bytes) ==
+            # a PDF FlateDecode image stream with /DecodeParms PNG
+            # predictors (/Predictor 15 = "per-row tags").  No re-encode.
+            idat = png["idat"]
+            cs = b"/DeviceRGB" if png["colors"] == 3 else b"/DeviceGray"
+            img_num = add(
+                b"<< /Type /XObject /Subtype /Image /Width "
+                + str(png["width_px"]).encode() + b" /Height "
+                + str(png["height_px"]).encode() + b" /ColorSpace " + cs
+                + b" /BitsPerComponent " + str(png["bit_depth"]).encode()
+                + b" /Filter /FlateDecode /DecodeParms << /Predictor 15"
+                b" /Colors " + str(png["colors"]).encode()
+                + b" /BitsPerComponent " + str(png["bit_depth"]).encode()
+                + b" /Columns " + str(png["width_px"]).encode()
+                + b" >> /Length " + str(len(idat)).encode()
+                + b" >>\nstream\n" + idat + b"\nendstream")
         content = overlay_content(spec.get("ops", []),
                                   spec["width_pt"], spec["height_pt"],
                                   has_image=img_num is not None)
@@ -291,17 +534,18 @@ def build_searchable_pdf(pages) -> bytes:
 
 def image_pdf(data: bytes) -> bytes:
     """The reference's prepared-document for an image input (app.py:
-    1470-1520): ONE page sized px * 72 / dpi carrying the image.  JPEG
-    rides in via DCTDecode passthrough; PNG would need a pixel re-encode,
-    which is the decode stub's territory — metadata-only callers use
-    image_meta.prepare_image directly."""
+    1470-1520): ONE page sized px * 72 / dpi carrying the image.  Both
+    embeds are codec-free passthroughs: JPEG bytes ride in as a DCTDecode
+    stream, PNG IDAT rides in as a FlateDecode stream with /DecodeParms
+    PNG predictors (IDAT is already exactly that encoding).  Palette/
+    alpha/interlaced PNGs still need a real pixel transform and raise
+    (ImageParseError) — the one remaining decode-stub case."""
     from . import image_meta
     meta = image_meta.prepare_image(data)
-    if meta["format"] != "jpeg":
-        raise NotImplementedError(
-            "PNG page embedding needs a pixel re-encode (DECODE STUB); "
-            "JPEG passes through codec-free")
-    return build_searchable_pdf([{
-        "width_pt": meta["width_pt"], "height_pt": meta["height_pt"],
-        "ops": [], "jpeg": bytes(data),
-    }])
+    spec = {"width_pt": meta["width_pt"], "height_pt": meta["height_pt"],
+            "ops": []}
+    if meta["format"] == "jpeg":
+        spec["jpeg"] = bytes(data)
+    else:
+        spec["png"] = image_meta.png_pixel_info(bytes(data))
+    return build_searchable_pdf([spec])

@@ -18,12 +18,14 @@ Reference parity targets (read-only /root/reference/app.py):
   content streams of a page; any per-page decode error counts as 0 ops
   (app.py:1265-1278 swallows exceptions the same way).
 
-Char counting caveat (documented divergence): pypdf's ``extract_text``
-decodes glyphs through font encodings/CMaps; this scanner counts the bytes
-of the literal/hex show-strings with PDF escapes resolved and whitespace
-removed (the reference also strips whitespace before counting,
-app.py:1221).  For simple single-byte fonts — and for every document this
-engine synthesizes — the two counts agree.
+Char counting (reference fidelity): pypdf's ``extract_text`` decodes
+glyphs through font encodings/CMaps before the reference strips whitespace
+and counts (app.py:1221).  This scanner now applies the same mapping for
+the classes a crawl actually carries — simple-font /Encoding /Differences,
+/ToUnicode CMaps (bfchar + bfrange), and 2-byte Type0/CID show strings —
+so a CJK CID page counts characters, not bytes.  Fonts with no mapping
+keep the exact raw-byte count, which equals pypdf's for standard
+single-byte fonts and for everything this engine synthesizes.
 """
 
 from __future__ import annotations
@@ -341,34 +343,427 @@ def _page_order(data: bytes, objs: Dict[int, _Obj]) -> List[int]:
     return pages
 
 
+# ---------------------------------------------------------------------------
+# Stream filters.  Real crawls carry more than FlateDecode: LZWDecode,
+# ASCIIHexDecode, ASCII85Decode, RunLengthDecode are all implementable with
+# the stdlib, and treating them as "no text" used to route searchable PDFs
+# to OCR (wrong direction — wasted OCR at scale).  Unknown filters raise
+# UnsupportedFilterError so callers can surface a parse warning instead of
+# a clean needs_ocr.
+# ---------------------------------------------------------------------------
+
+
+class UnsupportedFilterError(PdfParseError):
+    """Stream uses a filter this scanner cannot decode (JPX/DCT/CCITT/
+    JBIG2/Crypt): the page is UNDECODABLE, not empty — callers must count
+    a parse warning rather than conclude 'no text'."""
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (PDF 32000-1:2008 §7.4.4): MSB-first variable-width
+    codes 9→12 bits, 256 = clear-table, 257 = EOD, EarlyChange default 1
+    (the code width bumps one entry early)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[:end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+    end = data.find(b"~>")
+    body = re.sub(rb"\s+", b"", data[:end if end >= 0 else len(data)])
+    if body.startswith(b"<~"):
+        body = body[2:]
+    return base64.a85decode(body, adobe=False)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i + 1:i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1:i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Reverse PNG predictors (per-row filter byte) — /Predictor >= 10."""
+    bpp = max(1, (colors * bpc) // 8)
+    stride = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    while i + 1 <= len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + stride])
+        i += 1 + stride
+        if ft == 1:    # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _stream_filters(dict_src: bytes) -> List[bytes]:
+    """Filter names in application order ([] if unfiltered)."""
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_src)
+    if not m:
+        return []
+    return _FILTER_NAME_RE.findall(m.group(1))
+
+
+def _decode_parms(dict_src: bytes) -> Dict[bytes, int]:
+    """Flat int entries of the first /DecodeParms dict (predictor path)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", dict_src, re.S)
+    if not m:
+        return {}
+    return {k: int(v) for k, v in
+            re.findall(rb"/([A-Za-z]+)\s+(-?\d+)", m.group(1))}
+
+
+_KNOWN_UNSUPPORTED = {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode",
+                      b"JBIG2Decode", b"Crypt"}
+
+
 def _decode_stream(obj: _Obj, dec: Optional[_Decryptor]) -> bytes:
     raw = obj.stream or b""
     if dec is not None:
         raw = dec.decrypt(raw, obj.num, obj.gen)
-    if re.search(rb"/Filter\s*(\[\s*)?/FlateDecode\b", obj.dict_src):
-        raw = zlib.decompress(raw)
-    elif re.search(rb"/Filter\s*/", obj.dict_src):
-        raise PdfParseError("unsupported stream filter")
+    for filt in _stream_filters(obj.dict_src):
+        if filt == b"FlateDecode" or filt == b"Fl":
+            raw = zlib.decompress(raw)
+        elif filt == b"LZWDecode" or filt == b"LZW":
+            parms = _decode_parms(obj.dict_src)
+            raw = _lzw_decode(raw, parms.get(b"EarlyChange", 1))
+        elif filt == b"ASCIIHexDecode" or filt == b"AHx":
+            raw = _ascii_hex_decode(raw)
+        elif filt == b"ASCII85Decode" or filt == b"A85":
+            raw = _ascii85_decode(raw)
+        elif filt == b"RunLengthDecode" or filt == b"RL":
+            raw = _run_length_decode(raw)
+        else:
+            raise UnsupportedFilterError(
+                f"unsupported stream filter {filt.decode('ascii', 'replace')}")
+        parms = _decode_parms(obj.dict_src)
+        pred = parms.get(b"Predictor", 1)
+        if pred >= 10 and filt in (b"FlateDecode", b"Fl",
+                                   b"LZWDecode", b"LZW"):
+            raw = _png_unpredict(raw, parms.get(b"Colors", 1),
+                                 parms.get(b"BitsPerComponent", 8),
+                                 parms.get(b"Columns", 1))
     return raw
 
 
-def page_content_streams(data: bytes) -> List[bytes]:
-    """Decoded, concatenated content stream per page, in page order.
+# ---------------------------------------------------------------------------
+# Compressed object streams (/Type /ObjStm, PDF 1.5+): modern writers park
+# most non-stream objects (page dicts, fonts) inside a FlateDecode stream;
+# a plain `N G obj` scan cannot see them, so such documents used to parse
+# as zero pages → parse_failure.  Expanding them is what lets this scanner
+# read the xref-stream PDFs a real crawl is full of.
+# ---------------------------------------------------------------------------
+
+
+def _expand_object_streams(objs: Dict[int, _Obj],
+                           dec: Optional[_Decryptor]) -> int:
+    """Inline every object carried by an /ObjStm into `objs`.
+    Returns the number of undecodable object streams (warnings)."""
+    warnings = 0
+    for holder in [o for o in objs.values()
+                   if re.search(rb"/Type\s*/ObjStm\b", o.dict_src)]:
+        try:
+            payload = _decode_stream(holder, dec)
+            n = _dict_int(holder.dict_src, b"/N") or 0
+            first = _dict_int(holder.dict_src, b"/First") or 0
+            header = payload[:first].split()
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                     for i in range(n)]
+        except Exception:
+            warnings += 1
+            continue
+        for idx, (num, off) in enumerate(pairs):
+            end = (first + pairs[idx + 1][1] if idx + 1 < len(pairs)
+                   else len(payload))
+            body = payload[first + off:end]
+            if num not in objs:  # a top-level revision always wins
+                objs[num] = _Obj(num, 0, body, _find_dict(body), None)
+    return warnings
+
+
+# ---------------------------------------------------------------------------
+# Fonts: simple-font /Encoding /Differences and /ToUnicode CMaps, plus
+# 2-byte Type0 (Identity-H CID) fonts.  This is the glyph-decoding layer
+# pypdf applies inside extract_text (app.py:1202-1223 counts chars AFTER
+# this mapping): without it a CJK CID font's show strings count raw bytes —
+# 2x the真 char count — and composite-font text layers come out as
+# mojibake.  Only the classes below are mapped; fonts with no mapping keep
+# the byte-level behavior, which is exact for standard single-byte fonts.
+# ---------------------------------------------------------------------------
+
+
+class FontInfo:
+    __slots__ = ("two_byte", "cmap")
+
+    def __init__(self, two_byte: bool = False,
+                 cmap: Optional[Dict[int, str]] = None) -> None:
+        self.two_byte = two_byte
+        self.cmap = cmap  # code -> unicode; None = identity (StandardEnc)
+
+
+class PageScan:
+    __slots__ = ("content", "fonts", "warnings")
+
+    def __init__(self, content: bytes, fonts: Dict[bytes, FontInfo],
+                 warnings: int) -> None:
+        self.content = content
+        self.fonts = fonts
+        self.warnings = warnings
+
+
+# Adobe Glyph List subset: the names a /Differences array realistically
+# carries for Latin text (plus uniXXXX, handled separately).
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+}
+for _ch in "abcdefghijklmnopqrstuvwxyz":
+    _AGL[_ch] = _ch
+    _AGL[_ch.upper()] = _ch.upper()
+for _dg, _nm in enumerate(["zero", "one", "two", "three", "four", "five",
+                           "six", "seven", "eight", "nine"]):
+    _AGL[_nm] = str(_dg)
+
+
+def _glyph_name_to_char(name: str) -> Optional[str]:
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _utf16be_hex_to_str(hx: bytes) -> str:
+    raw = bytes.fromhex(re.sub(rb"\s+", b"", hx).decode("ascii"))
+    return raw.decode("utf-16-be", errors="replace")
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*"
+    rb"(?:<([0-9A-Fa-f\s]+)>|\[((?:\s*<[0-9A-Fa-f\s]+>)+)\s*\])")
+
+
+def _parse_tounicode_cmap(cmap_src: bytes) -> Dict[int, str]:
+    """bfchar/bfrange sections of a ToUnicode CMap → {code: unicode}."""
+    out: Dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(cmap_src):
+        for m in _HEXPAIR_RE.finditer(sec.group(1)):
+            code = int(re.sub(rb"\s+", b"", m.group(1)), 16)
+            out[code] = _utf16be_hex_to_str(m.group(2))
+    for sec in _BFRANGE_RE.finditer(cmap_src):
+        for m in _HEXTRIPLE_RE.finditer(sec.group(1)):
+            lo = int(re.sub(rb"\s+", b"", m.group(1)), 16)
+            hi = int(re.sub(rb"\s+", b"", m.group(2)), 16)
+            if m.group(3) is not None:  # <lo> <hi> <dst>: incrementing dst
+                base = _utf16be_hex_to_str(m.group(3))
+                if not base:
+                    continue
+                head, last = base[:-1], ord(base[-1])
+                for c in range(lo, hi + 1):
+                    out[c] = head + chr(last + (c - lo))
+            else:  # <lo> <hi> [<d0> <d1> ...]: explicit per-code targets
+                dsts = re.findall(rb"<([0-9A-Fa-f\s]+)>", m.group(4))
+                for c, dst in zip(range(lo, hi + 1), dsts):
+                    out[c] = _utf16be_hex_to_str(dst)
+    return out
+
+
+_NAME_TOKEN_RE = re.compile(rb"/([^\s/<>\[\]()]+)")
+
+
+def _parse_differences(enc_dict_src: bytes) -> Dict[int, str]:
+    """/Differences [ code /name /name code /name ... ] → {code: unicode}.
+    Unmappable glyph names are skipped (they fall back to the byte)."""
+    m = re.search(rb"/Differences\s*\[(.*?)\]", enc_dict_src, re.S)
+    if not m:
+        return {}
+    out: Dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()]+)", m.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            ch = _glyph_name_to_char(
+                tok.group(2).decode("latin-1"))
+            if ch is not None:
+                out[code] = ch
+            code += 1
+    return out
+
+
+def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
+                dec: Optional[_Decryptor]) -> FontInfo:
+    d = font_obj.dict_src
+    two_byte = re.search(rb"/Subtype\s*/Type0\b", d) is not None
+    cmap: Optional[Dict[int, str]] = None
+    tu_ref = _dict_ref(d, b"/ToUnicode")
+    if tu_ref is not None and tu_ref in objs:
+        try:
+            cmap = _parse_tounicode_cmap(_decode_stream(objs[tu_ref], dec))
+        except Exception:
+            cmap = None
+    if not two_byte:
+        # /Encoding << /Differences [...] >> — inline or referenced
+        enc_src = b""
+        em = re.search(rb"/Encoding\s*<<", d)
+        if em:
+            enc_src = _find_dict(d[em.end() - 2:])
+        else:
+            enc_ref = _dict_ref(d, b"/Encoding")
+            if enc_ref is not None and enc_ref in objs:
+                enc_src = objs[enc_ref].dict_src
+        diffs = _parse_differences(enc_src) if enc_src else {}
+        if diffs:
+            merged = dict(diffs)
+            if cmap:
+                merged.update(cmap)
+            cmap = merged
+    return FontInfo(two_byte=two_byte, cmap=cmap)
+
+
+def _page_fonts(page: _Obj, objs: Dict[int, _Obj],
+                dec: Optional[_Decryptor]) -> Dict[bytes, FontInfo]:
+    """Resolve the page's /Resources /Font table → {name: FontInfo}."""
+    res_src = b""
+    rm = re.search(rb"/Resources\s*<<", page.dict_src)
+    if rm:
+        res_src = _find_dict(page.dict_src[rm.end() - 2:])
+    else:
+        res_ref = _dict_ref(page.dict_src, b"/Resources")
+        if res_ref is not None and res_ref in objs:
+            res_src = objs[res_ref].dict_src
+    fm = re.search(rb"/Font\s*<<", res_src)
+    if not fm:
+        return {}
+    font_src = _find_dict(res_src[fm.end() - 2:])
+    fonts: Dict[bytes, FontInfo] = {}
+    for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R\b",
+                         font_src):
+        fobj = objs.get(int(m.group(2)))
+        if fobj is None:
+            continue
+        try:
+            fonts[m.group(1)] = _parse_font(fobj, objs, dec)
+        except Exception:
+            continue
+    return fonts
+
+
+def page_scans(data: bytes) -> List[PageScan]:
+    """Per page, in page order: decoded concatenated content stream, the
+    page's font table, and a warning count for UNDECODABLE streams
+    (unsupported filter / corrupt payload — distinct from 'no text', so
+    callers can route `needs_ocr` with a parse warning instead of silently
+    treating a searchable LZW/JPX page as empty, which wastes OCR at
+    scale).
 
     Raises PdfParseError for structurally unreadable files and
     EncryptedPdfError when the empty-password attempt fails; PER-PAGE
-    decode problems degrade to an empty stream (the reference counts such
-    pages as 0 ops / 0 chars, app.py:1265-1278)."""
+    decode problems degrade to an empty stream + warning (the reference
+    counts such pages as 0 ops / 0 chars, app.py:1265-1278)."""
     if not data.lstrip()[:5] == b"%PDF-":
         raise PdfParseError("missing %PDF- header")
     objs = _parse_objects(data)
     if not objs:
         raise PdfParseError("no objects")
     dec = _auth_empty_password(data, objs)
-    out: List[bytes] = []
+    objstm_warnings = _expand_object_streams(objs, dec)
+    out: List[PageScan] = []
     for pnum in _page_order(data, objs):
         page = objs[pnum]
         chunks: List[bytes] = []
+        warnings = objstm_warnings if not out else 0
         cm = re.search(rb"/Contents\s*\[(.*?)\]", page.dict_src, re.S)
         refs = ([int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
                 if cm else [])
@@ -382,11 +777,18 @@ def page_content_streams(data: bytes) -> List[bytes]:
             try:
                 chunks.append(_decode_stream(cobj, dec))
             except Exception:
+                warnings += 1
                 continue  # page degrades to fewer/zero ops, never raises
-        out.append(b"".join(chunks))
+        fonts = _page_fonts(page, objs, dec)
+        out.append(PageScan(b"".join(chunks), fonts, warnings))
     if not out:
         raise PdfParseError("no pages")
     return out
+
+
+def page_content_streams(data: bytes) -> List[bytes]:
+    """Back-compat view of :func:`page_scans`: decoded content bytes only."""
+    return [p.content for p in page_scans(data)]
 
 
 # ---------------------------------------------------------------------------
@@ -401,61 +803,34 @@ def count_text_show_ops(content: bytes) -> int:
     return len(TEXT_SHOW_OPERATOR_RE.findall(content))
 
 
-def count_text_chars(content: bytes) -> int:
-    """Whitespace-stripped char count of the strings shown by Tj/TJ/'/"
-    (the raw-bytes stand-in for pypdf extract_text + re.sub(r'\\s+',''),
-    app.py:1202-1223)."""
-    total = 0
-    i = 0
-    n = len(content)
-    while i < n:
-        c = content[i]
-        if c == 0x28:  # ( literal string
-            s, i = _read_literal_string(content, i)
-            total += sum(1 for b in s if b not in _PDF_WHITESPACE)
-        elif c == 0x3C and content[i:i + 2] != b"<<":  # <hex>
-            end = content.find(b">", i + 1)
-            if end < 0:
-                break
-            hx = re.sub(rb"\s+", b"", content[i + 1:end])
-            if len(hx) % 2:
-                hx += b"0"
-            try:
-                s = bytes.fromhex(hx.decode("ascii"))
-                total += sum(1 for b in s if b not in _PDF_WHITESPACE)
-            except ValueError:
-                pass
-            i = end + 1
-        else:
-            i += 1
-    return total
+# One pass, regex-jump tokenizer: strings, arrays, name tokens (for Tf
+# font tracking), and the operators we care about.  The regex SKIPS the
+# operator soup between interesting positions — the previous per-byte
+# `i += 1` walk was the extraction stage's Python hotspot.
+_WALK_RE = re.compile(
+    rb"[(<\[\]]"
+    rb"|/[^\s/<>\[\]()]*"
+    rb"|(?<![A-Za-z])(Tj|TJ|'|\"|Tf|ET)(?=[^A-Za-z]|$)")
+
+_WS_STR_RE = re.compile(r"\s+")
 
 
-_BT_RE = re.compile(rb"(?<![A-Za-z])BT(?![A-Za-z])")
-_ET_RE = re.compile(rb"(?<![A-Za-z])ET(?![A-Za-z])")
-
-
-def extract_text_layer(content: bytes) -> str:
-    """Text shown by a page's content stream, in stream order: the operand
-    bytes of every Tj/TJ/'/\" (TJ arrays concatenated, kern offsets
-    dropped), grouped per BT..ET block and joined with newlines.
-
-    This is the EXTENSION path for searchable PDFs a crawl carries — the
-    reference plans such files OUT of OCR instead of extracting them
-    (app.py:1306-1352), so there is no reference fixture to match; the
-    bytes round-trip exactly through this engine's own writer (q47 proves
-    writer → parser → extractor equals a pure-SQL reconstruction).  Glyph
-    decoding through font CMaps is out of scope: operand BYTES are decoded
-    as UTF-8 (exact for this writer and for simple-font PDFs)."""
-    blocks: List[bytes] = []
-    cur: List[bytes] = []
+def _walk_show_events(content: bytes):
+    """Yield ('show', font_name, raw_bytes) per text-show operand and
+    ('et', None, None) per block end, in stream order."""
     last_string: Optional[bytes] = None
     last_array: Optional[bytes] = None
     in_array = False
     array_strings: List[bytes] = []
+    last_name: Optional[bytes] = None
+    cur_font: Optional[bytes] = None
     i = 0
     n = len(content)
     while i < n:
+        m = _WALK_RE.search(content, i)
+        if m is None:
+            break
+        i = m.start()
         c = content[i]
         if c == 0x28:  # ( literal string
             s, i = _read_literal_string(content, i)
@@ -464,7 +839,10 @@ def extract_text_layer(content: bytes) -> str:
             else:
                 last_string = s
             continue
-        if c == 0x3C and content[i:i + 2] != b"<<":  # <hex>
+        if c == 0x3C:
+            if content[i:i + 2] == b"<<":  # dict (BDC property list etc.)
+                i += 2
+                continue
             end = content.find(b">", i + 1)
             if end < 0:
                 break
@@ -491,27 +869,134 @@ def extract_text_layer(content: bytes) -> str:
             last_array = b"".join(array_strings)
             i += 1
             continue
-        m = TEXT_SHOW_OPERATOR_RE.match(content, i)
-        if m:
-            if m.group(1) == b"TJ":
-                if last_array is not None:
-                    cur.append(last_array)
-                    last_array = None
-            elif last_string is not None:
-                cur.append(last_string)
-                last_string = None
+        if c == 0x2F:  # /Name token
+            last_name = m.group(0)[1:]
             i = m.end()
             continue
-        if _ET_RE.match(content, i):
-            if cur:
-                blocks.append(b"".join(cur))
-                cur = []
-            i += 2
+        op = m.group(1)
+        i = m.end()
+        if op == b"Tf":
+            cur_font = last_name
+        elif op == b"ET":
+            yield ("et", None, None)
+        elif op == b"TJ":
+            if last_array is not None:
+                yield ("show", cur_font, last_array)
+                last_array = None
+        else:  # Tj / ' / "
+            if last_string is not None:
+                yield ("show", cur_font, last_string)
+                last_string = None
+
+
+def _decode_shown(raw: bytes, font: Optional[FontInfo]) -> Optional[str]:
+    """Decode one show-string through its font.  Returns None when the
+    font gives no mapping (callers keep the exact byte-level fallback)."""
+    if font is None:
+        return None
+    if font.two_byte:
+        cmap = font.cmap or {}
+        return "".join(
+            cmap.get(int.from_bytes(raw[k:k + 2], "big"), "�")
+            for k in range(0, len(raw) - 1, 2))
+    if font.cmap is None:
+        return None
+    cmap = font.cmap
+    return "".join(cmap.get(b, chr(b)) for b in raw)
+
+
+def count_text_chars(content: bytes,
+                     fonts: Optional[Dict[bytes, FontInfo]] = None) -> int:
+    """Whitespace-stripped char count of the strings shown by Tj/TJ/'/"
+    (pypdf extract_text + re.sub(r'\\s+','') — app.py:1202-1223).
+
+    With a font table, strings are decoded through the current font's
+    /Differences//ToUnicode mapping first (so a 2-byte CID show-string
+    counts CHARACTERS, not bytes — matching pypdf on those classes);
+    unmapped fonts keep the exact raw-byte count, which equals pypdf's for
+    standard single-byte fonts."""
+    fonts = fonts or {}
+    total = 0
+    for kind, fname, raw in _walk_show_events(content):
+        if kind != "show":
             continue
-        i += 1
+        decoded = _decode_shown(raw, fonts.get(fname) if fname else None)
+        if decoded is None:
+            total += sum(1 for b in raw if b not in _PDF_WHITESPACE)
+        else:
+            total += len(_WS_STR_RE.sub("", decoded))
+    return total
+
+
+_BT_RE = re.compile(rb"(?<![A-Za-z])BT(?![A-Za-z])")
+_ET_RE = re.compile(rb"(?<![A-Za-z])ET(?![A-Za-z])")
+
+
+def extract_text_layer(content: bytes,
+                       fonts: Optional[Dict[bytes, FontInfo]] = None) -> str:
+    """Text shown by a page's content stream, in stream order: the operand
+    bytes of every Tj/TJ/'/\" (TJ arrays concatenated, kern offsets
+    dropped), grouped per BT..ET block and joined with newlines.
+
+    This is the EXTENSION path for searchable PDFs a crawl carries — the
+    reference plans such files OUT of OCR instead of extracting them
+    (app.py:1306-1352), so there is no reference fixture to match; the
+    bytes round-trip exactly through this engine's own writer (q47 proves
+    writer → parser → extractor equals a pure-SQL reconstruction).  With a
+    font table, strings are decoded through /Differences//ToUnicode (and
+    2-byte CID codes map through their CMap); unmapped fonts keep the
+    UTF-8 byte decode, exact for this writer and simple-font PDFs."""
+    fonts = fonts or {}
+    blocks: List[str] = []
+    cur: List[str] = []
+    for kind, fname, raw in _walk_show_events(content):
+        if kind == "et":
+            if cur:
+                blocks.append("".join(cur))
+                cur = []
+            continue
+        decoded = _decode_shown(raw, fonts.get(fname) if fname else None)
+        cur.append(raw.decode("utf-8", errors="replace")
+                   if decoded is None else decoded)
     if cur:
-        blocks.append(b"".join(cur))
-    return "\n".join(b.decode("utf-8", errors="replace") for b in blocks)
+        blocks.append("".join(cur))
+    return "\n".join(blocks)
+
+
+def scan_text_layer(
+    data: bytes,
+    pages_to_check: int = DEFAULT_TEXT_LAYER_CHECK_PAGES,
+    min_chars: int = MIN_TEXT_LAYER_CHARS,
+    min_text_ops: int = MIN_TEXT_SHOW_OPS,
+) -> Tuple[bool, int, int]:
+    """(has_text, total_pages, parse_warnings) over raw PDF bytes — the
+    reference's walk (app.py:1191-1248): cumulative chars AND ops, early
+    exit the moment either total crosses its threshold, at most
+    ``min(total_pages, max(1, pages_to_check))`` pages examined.
+
+    ``parse_warnings`` counts UNDECODABLE streams within the checked
+    window (unsupported filter, corrupt deflate): a has_text=False with
+    warnings > 0 means "could not rule text out", not "no text" — callers
+    should surface it rather than emit a clean needs_ocr.
+
+    Raises PdfParseError / EncryptedPdfError for file-level failures —
+    callers map these to parse-failure action rows."""
+    scans = page_scans(data)
+    total_pages = len(scans)
+    check_pages = min(total_pages,
+                      max(1, int(pages_to_check
+                                 or DEFAULT_TEXT_LAYER_CHECK_PAGES)))
+    total_chars = 0
+    total_ops = 0
+    warnings = 0
+    for i in range(check_pages):
+        scan = scans[i]
+        warnings += scan.warnings
+        total_chars += count_text_chars(scan.content, scan.fonts)
+        total_ops += count_text_show_ops(scan.content)
+        if total_chars >= min_chars or total_ops >= min_text_ops:
+            return True, total_pages, warnings
+    return False, total_pages, warnings
 
 
 def has_text_layer_raw(
@@ -520,24 +1005,8 @@ def has_text_layer_raw(
     min_chars: int = MIN_TEXT_LAYER_CHARS,
     min_text_ops: int = MIN_TEXT_SHOW_OPS,
 ) -> Tuple[bool, int]:
-    """(has_text, total_pages) over raw PDF bytes — the reference's walk
-    (app.py:1191-1248): cumulative chars AND ops, early exit the moment
-    either total crosses its threshold, at most
-    ``min(total_pages, max(1, pages_to_check))`` pages examined.
-
-    Raises PdfParseError / EncryptedPdfError for file-level failures —
-    callers map these to parse-failure action rows."""
-    streams = page_content_streams(data)
-    total_pages = len(streams)
-    check_pages = min(total_pages,
-                      max(1, int(pages_to_check
-                                 or DEFAULT_TEXT_LAYER_CHECK_PAGES)))
-    total_chars = 0
-    total_ops = 0
-    for i in range(check_pages):
-        content = streams[i]
-        total_chars += count_text_chars(content)
-        total_ops += count_text_show_ops(content)
-        if total_chars >= min_chars or total_ops >= min_text_ops:
-            return True, total_pages
-    return False, total_pages
+    """Back-compat view of :func:`scan_text_layer` without the warning
+    count."""
+    has_text, total_pages, _ = scan_text_layer(
+        data, pages_to_check, min_chars, min_text_ops)
+    return has_text, total_pages

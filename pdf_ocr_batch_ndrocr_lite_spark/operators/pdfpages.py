@@ -40,18 +40,19 @@ def pdf_page_stats(pages: DataFrame, url_col: str = "url",
             out: dict = {c: [] for c in cols}
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 try:
-                    streams = pdf_scan.page_content_streams(
-                        bytes(payload or b""))
+                    scans = pdf_scan.page_scans(bytes(payload or b""))
                 except ValueError:
                     continue  # parse/encryption failure → zero page rows
-                for i, content in enumerate(streams):
+                for i, scan in enumerate(scans):
                     out["url"].append(url)
                     out["page_index"].append(i)
                     out["n_text_ops"].append(
-                        pdf_scan.count_text_show_ops(content))
-                    out["n_chars"].append(pdf_scan.count_text_chars(content))
+                        pdf_scan.count_text_show_ops(scan.content))
+                    out["n_chars"].append(
+                        pdf_scan.count_text_chars(scan.content, scan.fonts))
                     out["text_layer"].append(
-                        pdf_scan.extract_text_layer(content))
+                        pdf_scan.extract_text_layer(scan.content,
+                                                    scan.fonts))
             yield pd.DataFrame(out, columns=cols)
 
     return pages.select(url_col, payload_col) \
