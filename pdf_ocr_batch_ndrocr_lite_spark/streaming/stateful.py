@@ -30,6 +30,23 @@ DEDUP_OUTPUT_SCHEMA = ("bucket int, url string, warc_ts timestamp, "
 DEDUP_STATE_SCHEMA = "seen array<long>"
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark) -> None:
+    """Switch subsequently-started streaming queries to the RocksDB state
+    store (ships with Spark ≥3.2): state lives on local disk with
+    changelog checkpointing instead of in executor heap, which is the
+    right provider once the dedup horizon is sized for a real crawl
+    (num_buckets × max_state_per_bucket hashes ≫ what an HDFS-backed
+    in-memory map should hold).  Must be called BEFORE `.start()` — the
+    provider is resolved per query at stream start and is then pinned in
+    the checkpoint."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+
+
 def _url_hash(url: str) -> int:
     # cheap deterministic 63-bit hash, stable across workers/restarts
     h = 1469598103934665603

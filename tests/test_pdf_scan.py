@@ -435,3 +435,19 @@ def test_tf_font_tracking_switches_mid_stream():
     }
     assert ps.extract_text_layer(content, fonts) == "XYab"
     assert ps.count_text_chars(content, fonts) == 4
+
+
+def test_xref_stream_layout_no_classic_trailer():
+    """Modern PDF 1.5+ files have NO `trailer` keyword: /Root lives in the
+    /XRef stream's dict.  The scanner's object-scan + ObjStm expansion must
+    still find the page tree (the /Root reference is plaintext in the XRef
+    stream dict even though the xref data itself is binary)."""
+    pdf = pm.build_objstm_pdf(["xref stream text", None])
+    body, _, _ = pdf.partition(b"trailer")
+    # fake a (binary, unparsed) cross-reference stream carrying the dict
+    xref_obj = (b"900 0 obj\n<< /Type /XRef /Size 10 /Root 1 0 R "
+                b"/W [1 2 1] /Length 6 >>\nstream\n\x00\x01\x02\x03\x04\x05"
+                b"\nendstream\nendobj\nstartxref\n0\n%%EOF\n")
+    modern = bytes(body) + xref_obj
+    has, pages, warnings = ps.scan_text_layer(modern)
+    assert (has, pages) == (True, 2)

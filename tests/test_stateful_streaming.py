@@ -90,3 +90,39 @@ def test_state_bounded_by_eviction_horizon(spark, tmp_path):
     _land(spark, inp, range(0, 5))        # now 0-4 ARE in state → deduped
     _run(cap=10)
     assert spark.read.parquet(out).count() == 35
+
+
+def test_rocksdb_state_store_restart(spark, tmp_path):
+    """The docstring's promised RocksDB path: same dedup-across-restart
+    semantics with the RocksDB state store provider (local-disk state +
+    changelog checkpointing — the provider a real-crawl horizon needs)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    use_rocksdb_state(spark)
+    try:
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass") \
+            == ROCKSDB_PROVIDER
+        _land(spark, inp, range(0, 30))
+        _run_once(spark, inp, out, ckpt)
+        assert spark.read.parquet(out).count() == 30
+        # restart with overlap: state restored from RocksDB checkpoint
+        _land(spark, inp, range(10, 40))
+        _run_once(spark, inp, out, ckpt)
+        final = spark.read.parquet(out)
+        assert final.count() == 40
+        assert final.select("url").distinct().count() == 40
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
