@@ -281,6 +281,8 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
     variant='cid': Type0 /Identity-H font, 2-byte codes shown as a hex
       string; /ToUnicode bfrange <0001><0400> → U+4E00.. (CJK ideographs).
       Char count must be len(codes), NOT 2*len(codes).
+    variant='winansi': simple font with bare /Encoding /WinAnsiEncoding —
+      bytes decode through cp1252 (0x91-0x94 are the smart quotes).
     """
     objs: List[bytes] = [b""]  # 1-indexed
 
@@ -310,6 +312,12 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
                        b"/ToUnicode " + str(tu_num).encode() + b" 0 R >>")
         hx = b"".join(b"%04X" % c for c in codes)
         content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
+    elif variant == "winansi":
+        font_num = add(b"<< /Type /Font /Subtype /Type1 "
+                       b"/BaseFont /Helvetica "
+                       b"/Encoding /WinAnsiEncoding >>")
+        lit = _escape_literal(bytes(codes))
+        content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
     else:
         raise ValueError(f"unknown glyph variant {variant!r}")
     content_num = add(b"<< /Length " + str(len(content)).encode()

@@ -566,12 +566,17 @@ def _expand_object_streams(objs: Dict[int, _Obj],
 
 
 class FontInfo:
-    __slots__ = ("two_byte", "cmap")
+    __slots__ = ("two_byte", "cmap", "base_encoding")
 
     def __init__(self, two_byte: bool = False,
-                 cmap: Optional[Dict[int, str]] = None) -> None:
+                 cmap: Optional[Dict[int, str]] = None,
+                 base_encoding: Optional[str] = None) -> None:
         self.two_byte = two_byte
         self.cmap = cmap  # code -> unicode; None = identity (StandardEnc)
+        # python codec for the font's base encoding when it is NOT the
+        # byte-identity default: 'cp1252' (/WinAnsiEncoding — the smart-
+        # quote bytes 0x91-0x94 etc.), 'mac-roman' (/MacRomanEncoding)
+        self.base_encoding = base_encoding
 
 
 class PageScan:
@@ -693,8 +698,10 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
             cmap = _parse_tounicode_cmap(_decode_stream(objs[tu_ref], dec))
         except Exception:
             cmap = None
+    base_encoding = None
     if not two_byte:
-        # /Encoding << /Differences [...] >> — inline or referenced
+        # /Encoding: a bare name, or a dict (inline or referenced) with
+        # /BaseEncoding and/or /Differences
         enc_src = b""
         em = re.search(rb"/Encoding\s*<<", d)
         if em:
@@ -703,13 +710,19 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
             enc_ref = _dict_ref(d, b"/Encoding")
             if enc_ref is not None and enc_ref in objs:
                 enc_src = objs[enc_ref].dict_src
+        names = d + enc_src  # bare /Encoding /Name or /BaseEncoding /Name
+        if re.search(rb"/(?:Base)?Encoding\s*/WinAnsiEncoding\b", names):
+            base_encoding = "cp1252"
+        elif re.search(rb"/(?:Base)?Encoding\s*/MacRomanEncoding\b", names):
+            base_encoding = "mac-roman"
         diffs = _parse_differences(enc_src) if enc_src else {}
         if diffs:
             merged = dict(diffs)
             if cmap:
                 merged.update(cmap)
             cmap = merged
-    return FontInfo(two_byte=two_byte, cmap=cmap)
+    return FontInfo(two_byte=two_byte, cmap=cmap,
+                    base_encoding=base_encoding)
 
 
 def _page_fonts(page: _Obj, objs: Dict[int, _Obj],
@@ -899,10 +912,23 @@ def _decode_shown(raw: bytes, font: Optional[FontInfo]) -> Optional[str]:
         return "".join(
             cmap.get(int.from_bytes(raw[k:k + 2], "big"), "�")
             for k in range(0, len(raw) - 1, 2))
-    if font.cmap is None:
+    if font.cmap is None and font.base_encoding is None:
         return None
-    cmap = font.cmap
-    return "".join(cmap.get(b, chr(b)) for b in raw)
+    cmap = font.cmap or {}
+    base = font.base_encoding
+    out = []
+    for b in raw:
+        ch = cmap.get(b)
+        if ch is not None:
+            out.append(ch)
+        elif base is not None:
+            try:
+                out.append(bytes([b]).decode(base))
+            except UnicodeDecodeError:  # cp1252 holes (0x81, 0x8D, ...)
+                out.append(chr(b))
+        else:
+            out.append(chr(b))
+    return "".join(out)
 
 
 def count_text_chars(content: bytes,

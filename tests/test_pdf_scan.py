@@ -451,3 +451,20 @@ def test_xref_stream_layout_no_classic_trailer():
     modern = bytes(body) + xref_obj
     has, pages, warnings = ps.scan_text_layer(modern)
     assert (has, pages) == (True, 2)
+
+
+def test_winansi_and_macroman_base_encodings():
+    """Bare /Encoding /WinAnsiEncoding: bytes decode through cp1252 — the
+    smart-quote bytes 0x91-0x94 a real crawl's Word-exported PDFs carry.
+    cp1252 holes (0x81 etc.) fall back to the byte identity."""
+    codes = [0x93, 0x61, 0x94, 0x81]   # "a" + hole
+    pdf = pm.build_glyph_pdf("winansi", codes)
+    scan = ps.page_scans(pdf)[0]
+    assert ps.extract_text_layer(scan.content, scan.fonts) == "“a”\x81"
+    assert ps.count_text_chars(scan.content, scan.fonts) == 4
+    # MacRoman via a direct FontInfo: 0xD2/0xD3 are its smart quotes
+    fi = ps.FontInfo(base_encoding="mac-roman")
+    assert ps._decode_shown(b"\xd2q\xd3", fi) == "“q”"
+    # Differences overlay wins over the base encoding for its codes
+    fi2 = ps.FontInfo(cmap={0x93: "X"}, base_encoding="cp1252")
+    assert ps._decode_shown(b"\x93\x94", fi2) == "X”"
