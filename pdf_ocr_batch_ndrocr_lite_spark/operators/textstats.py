@@ -151,3 +151,73 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     else:
         raise ValueError(f"unknown hasher: {hasher!r}")
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters (the Gopher rules family — Rae et al.,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", 2021, §A1.1: fraction of characters/tokens in the most common
+# n-gram, fraction of duplicate n-grams/lines).  Boilerplate-heavy and
+# spam pages score high and get filtered before training.
+#
+# Scale shape: one explode + two groupBys, both with map-side combine —
+# the shuffle carries (doc, gram) partial counts then one row per doc.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 2) -> DataFrame:
+    """Per-document n-gram repetition signals: total/most-frequent/distinct
+    k-gram counts plus the two standard fractions (single IEEE division
+    each, so the DuckDB oracle reproduces them bit-exactly).
+
+    top_gram_frac  = count(most frequent k-gram) / count(all k-grams)
+    dup_gram_frac  = (n_grams - distinct_grams) / n_grams
+    """
+    from .dedup import shingles_col
+
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("top_gram_count"),
+        F.col("distinct_grams"),
+        (F.col("top_gram_count") / F.col("n_grams").cast("double"))
+        .alias("top_gram_frac"),
+        ((F.col("n_grams") - F.col("distinct_grams"))
+         / F.col("n_grams").cast("double")).alias("dup_gram_frac"),
+    )
+
+
+def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Line-level Gopher duplicates for newline-structured texts: fraction
+    of lines that are repeats of an earlier-seen line, and the fraction of
+    CHARACTERS those repeats carry (boilerplate footers repeat verbatim)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda ln: F.trim(ln) != "")).alias("line"))
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("c"), F.length("line").alias("len"))
+    return per_line.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        (F.sum("c") - F.count(F.lit(1))).alias("dup_lines"),
+        F.sum(F.col("c") * F.col("len")).alias("n_chars"),
+        F.sum((F.col("c") - 1) * F.col("len")).alias("dup_chars"),
+    ).select(
+        F.col(id_col), "n_lines", "dup_lines",
+        (F.col("dup_lines") / F.col("n_lines").cast("double"))
+        .alias("dup_line_frac"),
+        (F.col("dup_chars") / F.col("n_chars").cast("double"))
+        .alias("dup_line_char_frac"),
+    )

@@ -341,7 +341,12 @@ def _make_raw_pdf(rng: random.Random, lang: str) -> bytes:
         texts = [" ".join(_word(rng, "en")
                           for _ in range(rng.randint(3, 8)))
                  for _ in range(n_pages)]
-        return pdf_make.build_pdf(texts, compress=rng.random() < 0.5)
+        if r >= 0.78:  # PDF-1.5 layout: page tree inside an /ObjStm
+            return pdf_make.build_objstm_pdf(texts)
+        # spread the searchable slice across the stream encodings a crawl
+        # carries (same routing outcome, different decode path each time)
+        filt = [None, "flate", "lzw", "a85", "rl"][int(rng.random() * 5)]
+        return pdf_make.build_pdf(texts, stream_filter=filt)
     if r < 0.85:  # text only BEYOND the 20-page check window → needs_ocr
         return pdf_make.build_pdf([None] * 22 + ["late text page here"],
                                   compress=False)

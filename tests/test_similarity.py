@@ -81,3 +81,40 @@ def test_lsh_topk_subset_of_bucket_and_finds_query(spark):
                    _emb(spark), planes).collect()}
     qb = buckets[0]
     assert all(buckets[r["vec_id"]] == qb for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (textstats.repetition_stats / duplicate_line_stats)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_computed(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),       # 2-grams: ab,ba,ab,ba,ab -> top 3/5
+         (2, "x y z w"),           # 3 distinct 2-grams, no repeats
+         (3, "solo")],             # fewer words than k -> one whole-text gram
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           ts.repetition_stats(docs, k=2).collect()}
+    assert got[1]["n_grams"] == 5 and got[1]["top_gram_count"] == 3
+    assert got[1]["distinct_grams"] == 2
+    assert got[1]["top_gram_frac"] == 3 / 5
+    assert got[1]["dup_gram_frac"] == 3 / 5   # (5-2)/5
+    assert got[2]["n_grams"] == 3 and got[2]["dup_gram_frac"] == 0.0
+    assert got[3]["n_grams"] == 1 and got[3]["top_gram_frac"] == 1.0
+
+
+def test_duplicate_line_stats_boilerplate_footer(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts
+    text = "intro\nfooter line\nbody text here\nfooter line\nfooter line"
+    docs = spark.createDataFrame([(1, text), (2, "only\nunique\nlines")],
+                                 "doc_id int, text string")
+    got = {r["doc_id"]: r for r in ts.duplicate_line_stats(docs).collect()}
+    # 5 lines, 'footer line' x3 -> 2 duplicate occurrences
+    assert got[1]["n_lines"] == 5 and got[1]["dup_lines"] == 2
+    assert got[1]["dup_line_frac"] == 2 / 5
+    # char fraction: 2 * len('footer line') / total chars of all lines
+    total = len("intro") + 3 * len("footer line") + len("body text here")
+    assert got[1]["dup_line_char_frac"] == (2 * len("footer line")) / total
+    assert got[2]["dup_lines"] == 0 and got[2]["dup_line_frac"] == 0.0

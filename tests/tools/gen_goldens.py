@@ -258,6 +258,12 @@ def gen_html_goldens(n_docs: int = 400, seed: int = 42) -> dict:
         head = bytes(row["html"][:64]).lstrip()
         if head.startswith(b'{"kind"'):
             continue
+        if head.startswith(b"%PDF-") or bytes(row["html"][:2]) == b"\xff\xd8" \
+                or bytes(row["html"][:8]) == b"\x89PNG\r\n\x1a\n":
+            # raw-PDF / image rows never reach the HTML extractor in the
+            # pipeline; freezing extract_main_text over their BINARY bytes
+            # only couples these goldens to the byte-level corpus layout
+            continue
         out[str(i)] = {
             "url": row["url"],
             "extracted_text": extract_main_text(
