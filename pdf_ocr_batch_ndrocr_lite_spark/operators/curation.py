@@ -57,3 +57,51 @@ def per_domain_cap(docs: DataFrame, url_col: str = "url", cap: int = 3,
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation verdict: the full training-data keep/drop decision one
+# pass of a CCNet/Gopher-style pipeline makes per document — exact dedup
+# first (cheapest kill), then language, then composite quality, then
+# n-gram repetition.  Composes the existing operators; at lake scale the
+# three per-row signal frames fuse into one projection and only the
+# repetition stats (one combining shuffle) and the dedup window (one
+# shuffle on the digest) move data.
+# ---------------------------------------------------------------------------
+
+
+def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_quality: float = 0.45,
+                     max_top_gram_frac: float = 0.10,
+                     k: int = 2) -> DataFrame:
+    """(id, keep, reason) per document.  Reason priority mirrors pipeline
+    order: 'exact_dup' (not the first-seen copy of its text digest) >
+    'lang' (language ID failed) > 'quality' (composite score below
+    threshold) > 'repetition' (most-frequent k-gram share above
+    threshold) > 'kept'."""
+    from . import textstats as ts
+
+    lang = ts.lang_id(docs, text_col, id_col)
+    qual = ts.quality_score(docs, text_col, id_col) \
+        .select(id_col, "quality")
+    rep = ts.repetition_stats(docs, id_col, text_col, k) \
+        .select(id_col, "top_gram_frac")
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    dup = docs.select(
+        F.col(id_col), F.row_number().over(w).alias("_rn")) \
+        .select(F.col(id_col), (F.col("_rn") > 1).alias("is_dup"))
+    j = dup.join(lang, id_col).join(qual, id_col).join(rep, id_col)
+    reason = (
+        F.when(F.col("is_dup"), F.lit("exact_dup"))
+        .when(F.col("lang_pred") == "unknown", F.lit("lang"))
+        .when(F.col("quality") < F.lit(float(min_quality)), F.lit("quality"))
+        .when(F.col("top_gram_frac") > F.lit(float(max_top_gram_frac)),
+              F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        F.col(id_col),
+        (reason == F.lit("kept")).alias("keep"),
+        reason.alias("reason"),
+    )

@@ -118,3 +118,32 @@ def test_duplicate_line_stats_boilerplate_footer(spark):
     total = len("intro") + 3 * len("footer line") + len("body text here")
     assert got[1]["dup_line_char_frac"] == (2 * len("footer line")) / total
     assert got[2]["dup_lines"] == 0 and got[2]["dup_line_frac"] == 0.0
+
+
+def test_curation_verdict_every_branch(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox is off to the river for a long drink of water in the "
+            "morning sun and the day is warm and the wind is soft and "
+            "the grass is green for miles around the quiet bend") * 1
+    rows = [
+        (1, good),                           # kept
+        (2, good),                           # exact dup of 1 -> exact_dup
+        (3, "zzz qqq vvv www xxx yyy kkk"),  # no marker words -> lang
+        (4, "the " + " ".join(f"verylongnonsenseword{i:02d}x"
+                              for i in range(15))),
+                                             # 1 stopword / long words
+                                             # -> quality 0.19 < 0.45
+        (5, "the fox " * 40 + "and the dog is here for the day so it "
+            "is fine and the sun is up and the air is cool and the "
+            "path is long and the town is near and the road is dry"),
+                                             # 'the fox' dominates -> repetition
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in cu.curation_verdict(docs).collect()}
+    assert got[1] == (True, "kept")
+    assert got[2] == (False, "exact_dup")
+    assert got[3] == (False, "lang")
+    assert got[4] == (False, "quality")
+    assert got[5] == (False, "repetition")
