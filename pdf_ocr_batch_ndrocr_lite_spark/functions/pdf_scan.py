@@ -320,18 +320,26 @@ def _page_order(data: bytes, objs: Dict[int, _Obj]) -> List[int]:
     pages: List[int] = []
     seen = set()
 
-    def walk(num: int) -> None:
-        if num in seen or num not in objs:
-            return
-        seen.add(num)
-        o = objs[num]
-        if re.search(rb"/Type\s*/Pages\b", o.dict_src):
-            km = re.search(rb"/Kids\s*\[(.*?)\]", o.dict_src, re.S)
-            if km:
-                for rm in _REF_RE.finditer(km.group(1)):
-                    walk(int(rm.group(1)))
-        elif re.search(rb"/Type\s*/Page\b", o.dict_src):
-            pages.append(num)
+    def walk(root: int) -> None:
+        # EXPLICIT stack, not recursion: a crawl PDF can nest /Kids
+        # thousands deep (or cycle), and a RecursionError would escape the
+        # ValueError guards callers rely on.  Children are pushed reversed
+        # so traversal order matches the recursive depth-first original.
+        stack = [root]
+        while stack:
+            num = stack.pop()
+            if num in seen or num not in objs:
+                continue
+            seen.add(num)
+            o = objs[num]
+            if re.search(rb"/Type\s*/Pages\b", o.dict_src):
+                km = re.search(rb"/Kids\s*\[(.*?)\]", o.dict_src, re.S)
+                if km:
+                    kids = [int(rm.group(1))
+                            for rm in _REF_RE.finditer(km.group(1))]
+                    stack.extend(reversed(kids))
+            elif re.search(rb"/Type\s*/Page\b", o.dict_src):
+                pages.append(num)
 
     if root_num is not None:
         pages_ref = _dict_ref(objs[root_num].dict_src, b"/Pages")

@@ -95,3 +95,63 @@ def lsh_topk(emb: DataFrame, query: Sequence[float],
     candidates = emb.join(
         buckets.filter(F.col("bucket") == q_bucket).select(id_col), id_col)
     return brute_force_topk(candidates, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path of
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011: assign every vector to its nearest centroid cell (pure map
+# stage over fixed centroids), then answer a query by scanning only the
+# `nprobe` cells nearest to the query instead of the corpus.  At lake
+# scale the assignment is computed once and the table is partitioned by
+# cell, so a query touches nprobe/C of the data.
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(vec_col, centroid: Sequence[float]):
+    """Left-fold squared L2 distance — the exact op order the SQL oracle
+    replicates term by term, so cell assignment is bit-identical."""
+    carr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_assign(emb: DataFrame, centroids: List[Sequence[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """(id, cell): nearest-centroid cell per row, first-minimum tie-break
+    (array_position finds the FIRST occurrence — deterministic)."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return emb.select(F.col(id_col), cell.alias("cell"))
+
+
+def query_probe_cells(query: Sequence[float],
+                      centroids: List[Sequence[float]],
+                      nprobe: int = 2) -> List[int]:
+    """The nprobe cells nearest to the query (driver-side: centroids are
+    tiny constants).  Same left-fold arithmetic as `_sq_dist`, ties break
+    by cell index."""
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(query, c):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+    order = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+    return order[:max(1, nprobe)]
+
+
+def ivf_topk(emb: DataFrame, query: Sequence[float],
+             centroids: List[Sequence[float]], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: brute-force cosine restricted to the query's nprobe
+    nearest IVF cells.  (id, cell, cosine), best first."""
+    probes = query_probe_cells(query, centroids, nprobe)
+    cells = ivf_assign(emb, centroids, id_col, vec_col)
+    candidates = emb.join(
+        cells.filter(F.col("cell").isin([int(p) for p in probes])), id_col)
+    scored = cosine_to_query(candidates, query, id_col, vec_col) \
+        .join(candidates.select(id_col, "cell"), id_col)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)) \
+        .select(id_col, "cell", "cosine").limit(k)

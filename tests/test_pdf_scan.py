@@ -468,3 +468,59 @@ def test_winansi_and_macroman_base_encodings():
     # Differences overlay wins over the base encoding for its codes
     fi2 = ps.FontInfo(cmap={0x93: "X"}, base_encoding="cp1252")
     assert ps._decode_shown(b"\x93\x94", fi2) == "X”"
+
+
+def test_deep_pages_tree_no_recursion_error():
+    """A crawl PDF can nest /Kids thousands deep (or cycle): the page-tree
+    walk must be iterative — a RecursionError would escape the ValueError
+    guards in pdf_page_stats/extract_raw_pdf and kill the Spark task."""
+    depth = 5000
+    parts = [b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"]
+    # chain: node i -> kid i+1; last node is the single real page
+    for i in range(2, 2 + depth):
+        parts.append(b"%d 0 obj\n<< /Type /Pages /Kids [%d 0 R] /Count 1 >>"
+                     b"\nendobj\n" % (i, i + 1))
+    leaf = 2 + depth
+    content = leaf + 1
+    parts.append(b"%d 0 obj\n<< /Type /Page /Parent %d 0 R "
+                 b"/MediaBox [0 0 612 792] /Contents %d 0 R >>\nendobj\n"
+                 % (leaf, leaf - 1, content))
+    body = b"BT (deep tree text layer) Tj ET"
+    parts.append(b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+                 % (content, len(body), body))
+    parts.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pdf = b"".join(parts)
+    has, pages, warnings = ps.scan_text_layer(pdf)
+    assert (has, pages) == (True, 1)
+    # a CYCLE in the tree must terminate too (seen-set)
+    cyc = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length 10 >>\nstream\n(x) Tj\nendstream\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    has2, pages2, _ = ps.scan_text_layer(cyc)
+    assert (has2, pages2) == (True, 1)
+
+
+def test_adversarial_bytes_never_raise_unexpected():
+    """Crawl-safety fuzz: arbitrary byte soup through the scanner must
+    yield only PdfParseError/EncryptedPdfError (the dispatcher's contract)
+    or a clean scan — never any other exception type."""
+    import random
+    rnd = random.Random(99)
+    fragments = [b"%PDF-", b" 0 obj", b"endobj", b"stream\n", b"endstream",
+                 b"<<", b">>", b"/Type /Page", b"/Type /Pages", b"/Kids [",
+                 b"]", b"(", b")", b"\\", b"<41>", b"Tj", b"TJ", b"BT",
+                 b"ET", b"/Filter /FlateDecode", b"/Encrypt 1 0 R",
+                 b"/Root 1 0 R", b"/Contents 2 0 R", b"xref", b"trailer"]
+    for trial in range(300):
+        n = rnd.randrange(1, 30)
+        blob = b"%PDF-1.4\n" if rnd.random() < 0.7 else b""
+        blob += b"".join(
+            fragments[rnd.randrange(len(fragments))] if rnd.random() < 0.7
+            else bytes(rnd.randrange(256) for _ in range(rnd.randrange(12)))
+            for _ in range(n))
+        try:
+            ps.scan_text_layer(blob)
+        except (ps.PdfParseError, ps.EncryptedPdfError):
+            pass  # the contract: structured failure only

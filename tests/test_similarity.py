@@ -147,3 +147,33 @@ def test_curation_verdict_every_branch(spark):
     assert got[3] == (False, "lang")
     assert got[4] == (False, "quality")
     assert got[5] == (False, "repetition")
+
+
+def test_ivf_assignment_and_probe_recall(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim
+    # 3 well-separated centroids in dim 4; vectors cluster tightly around
+    # each, so assignment is unambiguous
+    cents = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+             [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    for i in range(30):
+        c = i % 3
+        vec = [cents[c][j] + (0.1 * ((i + j) % 3)) for j in range(4)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cells = {r["vec_id"]: r["cell"]
+             for r in sim.ivf_assign(emb, cents).collect()}
+    assert all(cells[i] == i % 3 for i in range(30))
+    # query near centroid 0: probes = [0, then next-nearest]
+    q = [9.5, 0.2, 0.1, 0.0]
+    assert sim.query_probe_cells(q, cents, nprobe=1) == [0]
+    # nprobe = all cells -> identical to brute force
+    full = [r["vec_id"] for r in
+            sim.ivf_topk(emb, q, cents, k=5, nprobe=3).collect()]
+    brute = [r["vec_id"] for r in
+             sim.brute_force_topk(emb, q, k=5).collect()]
+    assert full == brute
+    # nprobe=1 results come only from cell 0 and are a subset of cell-0 ids
+    one = sim.ivf_topk(emb, q, cents, k=5, nprobe=1).collect()
+    assert all(r["cell"] == 0 for r in one)
+    assert {r["vec_id"] % 3 for r in one} == {0}
