@@ -79,7 +79,11 @@ def bench_queries(spark):
              "q29_embedding_near_dup", "q31_url_canonicalize",
              "q32_domain_cap",
              # round-2 raw-byte operators: PDF write+parse both directions
-             "q41_pdf_page_explode", "q45_searchable_pdf_sink"]
+             "q41_pdf_page_explode", "q45_searchable_pdf_sink",
+             # round-3 operators: glyph decoding, Gopher repetition,
+             # composed curation cascade, IVF nprobe ANN
+             "q48_glyph_decode", "q49_repetition_stats",
+             "q50_curation_pipeline", "q51_ivf_ann"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

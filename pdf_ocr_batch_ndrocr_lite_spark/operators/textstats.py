@@ -160,8 +160,14 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
 # n-gram, fraction of duplicate n-grams/lines).  Boilerplate-heavy and
 # spam pages score high and get filtered before training.
 #
-# Scale shape: one explode + two groupBys, both with map-side combine —
-# the shuffle carries (doc, gram) partial counts then one row per doc.
+# Scale shape: ZERO shuffle.  All three counts are per-document facts, so
+# they are computed inside one projection with array functions — sort the
+# gram array and take the longest equal-run for the top count (equal
+# elements are adjacent after any sort, so the run length IS the
+# frequency).  The explode→groupBy(doc, gram) formulation this replaces
+# shuffled one row per (doc, gram) — tens of millions of rows at sf0.1
+# and a full-corpus shuffle at 100 TB, for values that never leave their
+# row.
 # ---------------------------------------------------------------------------
 
 
@@ -176,20 +182,33 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     from .dedup import shingles_col
 
-    grams = docs.select(
-        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("gram"))
-    counts = grams.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("c"))
-    agg = counts.groupBy(id_col).agg(
-        F.sum("c").alias("n_grams"),
-        F.max("c").alias("top_gram_count"),
-        F.count(F.lit(1)).alias("distinct_grams"),
+    grams = F.array_sort(shingles_col(text_col, k))
+    # longest run of equal adjacent grams = max frequency; fold state is
+    # (previous gram, current run length, best run length)
+    run = F.aggregate(
+        grams,
+        F.struct(F.lit("").alias("prev"), F.lit(0).cast("bigint").alias("run"),
+                 F.lit(0).cast("bigint").alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return agg.select(
+    n_grams = F.size(grams).cast("bigint")
+    distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    return docs.select(
         F.col(id_col),
-        F.col("n_grams"),
-        F.col("top_gram_count"),
-        F.col("distinct_grams"),
+        n_grams.alias("n_grams"),
+        run.alias("top_gram_count"),
+        distinct.alias("distinct_grams"),
+    ).select(
+        F.col(id_col), "n_grams", "top_gram_count", "distinct_grams",
         (F.col("top_gram_count") / F.col("n_grams").cast("double"))
         .alias("top_gram_frac"),
         ((F.col("n_grams") - F.col("distinct_grams"))

@@ -157,3 +157,42 @@ def test_pdf_page_stats_single_python_stage(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") == 0
     assert plan.count("MapInPandas") == 1
+
+
+def test_ivf_assign_is_pure_map_stage(spark):
+    """IVF cell assignment must not shuffle: centroids are literals, the
+    distance argmin is a projection — one scan, zero exchanges."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [[float((b * 17 + i * 5) % 7 - 3) for i in range(64)]
+             for b in range(4)]
+    plan = sim.ivf_assign(emb, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_embedding_near_dup_broadcasts_salt_dim(spark):
+    """The hot-bucket guard's per-bucket salt factor must ride a broadcast
+    join (one row per bucket), never a shuffle of the vector table."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import dedup as dd
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = dd.embedding_near_dup_pairs(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_is_shuffle_free_projection(spark):
+    """q49 shape: per-doc facts never leave their row — sorted-array run
+    counting in ONE projection, zero aggregates, zero explodes, zero
+    exchanges (the explode→groupBy(doc, gram) form shuffled one row per
+    gram: a full-corpus shuffle at 100 TB for row-local values)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id int, text string")
+    opt = ts.repetition_stats(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Generate" not in opt
+    assert "Aggregate" not in opt
+    phys = ts.repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in phys
