@@ -733,17 +733,32 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
                     base_encoding=base_encoding)
 
 
+def _resources_src(page: _Obj, objs: Dict[int, _Obj]) -> bytes:
+    """/Resources dict source for a page, following /Parent INHERITANCE
+    (PDF 32000-1 §7.7.3.4: pages commonly inherit Resources from their
+    /Pages ancestors — a page-dict-only lookup misses the fonts of most
+    real-world writers).  Bounded walk, cycle-safe."""
+    node: Optional[_Obj] = page
+    seen = set()
+    for _ in range(32):
+        if node is None or node.num in seen:
+            break
+        seen.add(node.num)
+        rm = re.search(rb"/Resources\s*<<", node.dict_src)
+        if rm:
+            return _find_dict(node.dict_src[rm.end() - 2:])
+        res_ref = _dict_ref(node.dict_src, b"/Resources")
+        if res_ref is not None and res_ref in objs:
+            return objs[res_ref].dict_src
+        parent = _dict_ref(node.dict_src, b"/Parent")
+        node = objs.get(parent) if parent is not None else None
+    return b""
+
+
 def _page_fonts(page: _Obj, objs: Dict[int, _Obj],
                 dec: Optional[_Decryptor]) -> Dict[bytes, FontInfo]:
     """Resolve the page's /Resources /Font table → {name: FontInfo}."""
-    res_src = b""
-    rm = re.search(rb"/Resources\s*<<", page.dict_src)
-    if rm:
-        res_src = _find_dict(page.dict_src[rm.end() - 2:])
-    else:
-        res_ref = _dict_ref(page.dict_src, b"/Resources")
-        if res_ref is not None and res_ref in objs:
-            res_src = objs[res_ref].dict_src
+    res_src = _resources_src(page, objs)
     fm = re.search(rb"/Font\s*<<", res_src)
     if not fm:
         return {}

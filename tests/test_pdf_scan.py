@@ -524,3 +524,30 @@ def test_adversarial_bytes_never_raise_unexpected():
             ps.scan_text_layer(blob)
         except (ps.PdfParseError, ps.EncryptedPdfError):
             pass  # the contract: structured failure only
+
+
+def test_resources_inherited_from_parent_pages_node():
+    """PDF §7.7.3.4 inheritance: the /Font table often lives on the
+    /Pages ANCESTOR, not the page — glyph decoding must still find it."""
+    # CID font + resources on the Pages node; page dict has no /Resources
+    cmap = (b"1 beginbfrange\n<0001> <0400> <4E00>\nendbfrange\n")
+    content = b"BT /F1 12 Tf <000100020003> Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [5 0 R] /Count 1 "
+           b"/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X "
+           b"/Encoding /Identity-H /ToUnicode 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(cmap)).encode()
+           + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /Page /Parent 2 0 R "
+           b"/MediaBox [0 0 612 792] /Contents 6 0 R >>\nendobj\n"
+           b"6 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    scan = ps.page_scans(pdf)[0]
+    assert b"F1" in scan.fonts and scan.fonts[b"F1"].two_byte
+    # 3 CID codes -> 3 chars, not 6 bytes
+    assert ps.count_text_chars(scan.content, scan.fonts) == 3
+    assert ps.extract_text_layer(scan.content, scan.fonts) == \
+        "".join(chr(0x4E00 + c - 1) for c in (1, 2, 3))
