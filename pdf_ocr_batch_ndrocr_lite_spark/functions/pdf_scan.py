@@ -485,13 +485,40 @@ def _stream_filters(dict_src: bytes) -> List[bytes]:
     return _FILTER_NAME_RE.findall(m.group(1))
 
 
-def _decode_parms(dict_src: bytes) -> Dict[bytes, int]:
-    """Flat int entries of the first /DecodeParms dict (predictor path)."""
-    m = re.search(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", dict_src, re.S)
+def _decode_parms(dict_src: bytes) -> List[Dict[bytes, int]]:
+    """Per-filter parameter dicts from /DecodeParms — BOTH spellings:
+    the bare dict ``/DecodeParms << ... >>`` and the array form
+    ``/DecodeParms [null << ... >> ...]`` (the standard spelling whenever
+    /Filter is an array; `null` slots are empty dicts).  Returns one dict
+    per array slot (a single dict counts as slot 0)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[|<<)", dict_src)
     if not m:
-        return {}
-    return {k: int(v) for k, v in
-            re.findall(rb"/([A-Za-z]+)\s+(-?\d+)", m.group(1))}
+        return []
+
+    def flat_ints(src: bytes) -> Dict[bytes, int]:
+        return {k: int(v) for k, v in
+                re.findall(rb"/([A-Za-z]+)\s+(-?\d+)", src)}
+
+    if m.group(1) == b"<<":
+        return [flat_ints(_find_dict(dict_src[m.start(1):]))]
+    # array form: walk entries (null | << ... >>) until the closing ]
+    out: List[Dict[bytes, int]] = []
+    i = m.end(1)
+    n = len(dict_src)
+    while i < n:
+        if dict_src[i] == 0x5D:  # ]
+            break
+        if dict_src.startswith(b"null", i):
+            out.append({})
+            i += 4
+            continue
+        if dict_src.startswith(b"<<", i):
+            d = _find_dict(dict_src[i:])
+            out.append(flat_ints(d))
+            i += max(2, len(d))
+            continue
+        i += 1
+    return out
 
 
 _KNOWN_UNSUPPORTED = {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode",
@@ -502,11 +529,12 @@ def _decode_stream(obj: _Obj, dec: Optional[_Decryptor]) -> bytes:
     raw = obj.stream or b""
     if dec is not None:
         raw = dec.decrypt(raw, obj.num, obj.gen)
-    for filt in _stream_filters(obj.dict_src):
+    all_parms = _decode_parms(obj.dict_src)
+    for idx, filt in enumerate(_stream_filters(obj.dict_src)):
+        parms = all_parms[idx] if idx < len(all_parms) else {}
         if filt == b"FlateDecode" or filt == b"Fl":
             raw = zlib.decompress(raw)
         elif filt == b"LZWDecode" or filt == b"LZW":
-            parms = _decode_parms(obj.dict_src)
             raw = _lzw_decode(raw, parms.get(b"EarlyChange", 1))
         elif filt == b"ASCIIHexDecode" or filt == b"AHx":
             raw = _ascii_hex_decode(raw)
@@ -517,7 +545,6 @@ def _decode_stream(obj: _Obj, dec: Optional[_Decryptor]) -> bytes:
         else:
             raise UnsupportedFilterError(
                 f"unsupported stream filter {filt.decode('ascii', 'replace')}")
-        parms = _decode_parms(obj.dict_src)
         pred = parms.get(b"Predictor", 1)
         if pred >= 10 and filt in (b"FlateDecode", b"Fl",
                                    b"LZWDecode", b"LZW"):
@@ -756,8 +783,14 @@ def _resources_src(page: _Obj, objs: Dict[int, _Obj]) -> bytes:
 
 
 def _page_fonts(page: _Obj, objs: Dict[int, _Obj],
-                dec: Optional[_Decryptor]) -> Dict[bytes, FontInfo]:
-    """Resolve the page's /Resources /Font table → {name: FontInfo}."""
+                dec: Optional[_Decryptor],
+                font_cache: Optional[Dict[int, FontInfo]] = None
+                ) -> Dict[bytes, FontInfo]:
+    """Resolve the page's /Resources /Font table → {name: FontInfo}.
+    `font_cache` memoizes FontInfo per font OBJECT number: most documents
+    share one font table across every page (often via /Resources
+    inheritance), so the CMap/Differences parse runs once per font, not
+    once per page."""
     res_src = _resources_src(page, objs)
     fm = re.search(rb"/Font\s*<<", res_src)
     if not fm:
@@ -766,13 +799,20 @@ def _page_fonts(page: _Obj, objs: Dict[int, _Obj],
     fonts: Dict[bytes, FontInfo] = {}
     for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R\b",
                          font_src):
-        fobj = objs.get(int(m.group(2)))
+        fnum = int(m.group(2))
+        if font_cache is not None and fnum in font_cache:
+            fonts[m.group(1)] = font_cache[fnum]
+            continue
+        fobj = objs.get(fnum)
         if fobj is None:
             continue
         try:
-            fonts[m.group(1)] = _parse_font(fobj, objs, dec)
+            fi = _parse_font(fobj, objs, dec)
         except Exception:
             continue
+        fonts[m.group(1)] = fi
+        if font_cache is not None:
+            font_cache[fnum] = fi
     return fonts
 
 
@@ -796,6 +836,7 @@ def page_scans(data: bytes) -> List[PageScan]:
     dec = _auth_empty_password(data, objs)
     objstm_warnings = _expand_object_streams(objs, dec)
     out: List[PageScan] = []
+    font_cache: Dict[int, FontInfo] = {}
     for pnum in _page_order(data, objs):
         page = objs[pnum]
         chunks: List[bytes] = []
@@ -815,7 +856,7 @@ def page_scans(data: bytes) -> List[PageScan]:
             except Exception:
                 warnings += 1
                 continue  # page degrades to fewer/zero ops, never raises
-        fonts = _page_fonts(page, objs, dec)
+        fonts = _page_fonts(page, objs, dec, font_cache)
         out.append(PageScan(b"".join(chunks), fonts, warnings))
     if not out:
         raise PdfParseError("no pages")
@@ -997,18 +1038,37 @@ def extract_text_layer(content: bytes,
     UTF-8 byte decode, exact for this writer and simple-font PDFs."""
     fonts = fonts or {}
     blocks: List[str] = []
-    cur: List[str] = []
+    # cur holds str (font-decoded) and bytes (unmapped) pieces; adjacent
+    # BYTE pieces are joined BEFORE the UTF-8 decode, so a multi-byte
+    # char split across two Tj operands survives (writers do this)
+    cur: List = []
+
+    def flush() -> None:
+        if not cur:
+            return
+        parts: List[str] = []
+        pending = bytearray()
+        for piece in cur:
+            if isinstance(piece, bytes):
+                pending += piece
+            else:
+                if pending:
+                    parts.append(bytes(pending).decode("utf-8",
+                                                       errors="replace"))
+                    pending.clear()
+                parts.append(piece)
+        if pending:
+            parts.append(bytes(pending).decode("utf-8", errors="replace"))
+        blocks.append("".join(parts))
+        cur.clear()
+
     for kind, fname, raw in _walk_show_events(content):
         if kind == "et":
-            if cur:
-                blocks.append("".join(cur))
-                cur = []
+            flush()
             continue
         decoded = _decode_shown(raw, fonts.get(fname) if fname else None)
-        cur.append(raw.decode("utf-8", errors="replace")
-                   if decoded is None else decoded)
-    if cur:
-        blocks.append("".join(cur))
+        cur.append(raw if decoded is None else decoded)
+    flush()
     return "\n".join(blocks)
 
 

@@ -63,10 +63,12 @@ def per_domain_cap(docs: DataFrame, url_col: str = "url", cap: int = 3,
 # Composed curation verdict: the full training-data keep/drop decision one
 # pass of a CCNet/Gopher-style pipeline makes per document — exact dedup
 # first (cheapest kill), then language, then composite quality, then
-# n-gram repetition.  Composes the existing operators; at lake scale the
-# three per-row signal frames fuse into one projection and only the
-# repetition stats (one combining shuffle) and the dedup window (one
-# shuffle on the digest) move data.
+# n-gram repetition.  All three per-row signals are COLUMN expressions
+# (textstats.lang_pred_col / quality_col / top_gram_frac_col) fused into
+# ONE projection; the only data movement is the dedup window's single
+# exchange on the text digest.  Plan: scan → project → one window — no
+# joins (an earlier formulation joined three signal frames on doc_id:
+# three full-corpus shuffles for row-local values).
 # ---------------------------------------------------------------------------
 
 
@@ -82,25 +84,24 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
     threshold) > 'kept'."""
     from . import textstats as ts
 
-    lang = ts.lang_id(docs, text_col, id_col)
-    qual = ts.quality_score(docs, text_col, id_col) \
-        .select(id_col, "quality")
-    rep = ts.repetition_stats(docs, id_col, text_col, k) \
-        .select(id_col, "top_gram_frac")
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    dup = docs.select(
-        F.col(id_col), F.row_number().over(w).alias("_rn")) \
-        .select(F.col(id_col), (F.col("_rn") > 1).alias("is_dup"))
-    j = dup.join(lang, id_col).join(qual, id_col).join(rep, id_col)
+    sig = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_md5"),
+        ts.lang_pred_col(text_col).alias("lang_pred"),
+        ts.quality_col(text_col).alias("quality"),
+        ts.top_gram_frac_col(text_col, k).alias("top_gram_frac"),
+    )
+    w = Window.partitionBy("_md5").orderBy(F.col(id_col))
+    v = sig.withColumn("_rn", F.row_number().over(w))
     reason = (
-        F.when(F.col("is_dup"), F.lit("exact_dup"))
+        F.when(F.col("_rn") > 1, F.lit("exact_dup"))
         .when(F.col("lang_pred") == "unknown", F.lit("lang"))
         .when(F.col("quality") < F.lit(float(min_quality)), F.lit("quality"))
         .when(F.col("top_gram_frac") > F.lit(float(max_top_gram_frac)),
               F.lit("repetition"))
         .otherwise(F.lit("kept"))
     )
-    return j.select(
+    return v.select(
         F.col(id_col),
         (reason == F.lit("kept")).alias("keep"),
         reason.alias("reason"),

@@ -151,7 +151,13 @@ def ivf_topk(emb: DataFrame, query: Sequence[float],
     cells = ivf_assign(emb, centroids, id_col, vec_col)
     candidates = emb.join(
         cells.filter(F.col("cell").isin([int(p) for p in probes])), id_col)
-    scored = cosine_to_query(candidates, query, id_col, vec_col) \
-        .join(candidates.select(id_col, "cell"), id_col)
+    # score in place on the candidate frame — joining a separate scored
+    # frame back would re-evaluate the centroid-argmin lineage twice
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qn = sum(float(v) * float(v) for v in query) ** 0.5
+    scored = candidates.select(
+        F.col(id_col), F.col("cell"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)))
+        .alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)) \
         .select(id_col, "cell", "cosine").limit(k)

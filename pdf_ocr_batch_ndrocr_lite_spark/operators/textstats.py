@@ -33,11 +33,9 @@ def _marker_count(text_col, words):
         f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: CJK script ratio first, else the marker-word
-    class with the highest hit count (ties resolve by fixed order en>de>es;
-    no hits → 'unknown')."""
+def lang_pred_col(text_col: str = "text"):
+    """Language-ID prediction as a pure COLUMN expression (composable into
+    a fused signal projection — see `curation.curation_verdict`)."""
     cjk_hits = F.size(F.expr(
         f"regexp_extract_all({text_col}, "
         f"'[\\\\x{{3040}}-\\\\x{{30FF}}\\\\x{{4E00}}-\\\\x{{9FFF}}]', 0)"))
@@ -49,9 +47,33 @@ def lang_id(docs: DataFrame, text_col: str = "text",
         n = counts[lang]
         best = F.when(n >= best_n, F.lit(lang)).otherwise(best)
         best_n = F.greatest(n, best_n)
-    pred = F.when(cjk_hits * 4 >= F.length(F.col(text_col)), F.lit("cjk")) \
+    return F.when(cjk_hits * 4 >= F.length(F.col(text_col)), F.lit("cjk")) \
         .otherwise(F.when(best_n > 0, best).otherwise(F.lit("unknown")))
-    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK script ratio first, else the marker-word
+    class with the highest hit count (ties resolve by fixed order en>de>es;
+    no hits → 'unknown')."""
+    return docs.select(F.col(id_col),
+                       lang_pred_col(text_col).alias("lang_pred"))
+
+
+def quality_col(text_col: str = "text"):
+    """Composite quality score as a pure COLUMN expression."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    n_stop = _marker_count(text_col, _LANG_MARKERS["en"])
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    return (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.2))
+        .otherwise(F.lit(0.0))
+    )
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
@@ -66,13 +88,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     n_stop = _marker_count(text_col, _LANG_MARKERS["en"])
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
-    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
-        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.2))
-        .otherwise(F.lit(0.0))
-    )
+    score = quality_col(text_col)
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars_obs"),
@@ -171,15 +187,10 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", k: int = 2) -> DataFrame:
-    """Per-document n-gram repetition signals: total/most-frequent/distinct
-    k-gram counts plus the two standard fractions (single IEEE division
-    each, so the DuckDB oracle reproduces them bit-exactly).
-
-    top_gram_frac  = count(most frequent k-gram) / count(all k-grams)
-    dup_gram_frac  = (n_grams - distinct_grams) / n_grams
-    """
+def _gram_count_cols(text_col: str, k: int):
+    """(n_grams, top_gram_count, distinct_grams) column triple — the
+    row-local core shared by `repetition_stats` and the fused curation
+    projection."""
     from .dedup import shingles_col
 
     grams = F.array_sort(shingles_col(text_col, k))
@@ -202,6 +213,25 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     )
     n_grams = F.size(grams).cast("bigint")
     distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    return n_grams, run, distinct
+
+
+def top_gram_frac_col(text_col: str = "text", k: int = 2):
+    """Most-frequent-k-gram share as a pure COLUMN expression."""
+    n_grams, run, _ = _gram_count_cols(text_col, k)
+    return run / n_grams.cast("double")
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 2) -> DataFrame:
+    """Per-document n-gram repetition signals: total/most-frequent/distinct
+    k-gram counts plus the two standard fractions (single IEEE division
+    each, so the DuckDB oracle reproduces them bit-exactly).
+
+    top_gram_frac  = count(most frequent k-gram) / count(all k-grams)
+    dup_gram_frac  = (n_grams - distinct_grams) / n_grams
+    """
+    n_grams, run, distinct = _gram_count_cols(text_col, k)
     return docs.select(
         F.col(id_col),
         n_grams.alias("n_grams"),

@@ -25,10 +25,17 @@ class StorageAdapter:
 
     # -- parquet implementation (local tests) --
 
+    @staticmethod
+    def _local(path: str) -> str:
+        """Filesystem view of a local path that may carry a file:// scheme
+        (os.path/os.rename need the bare path; Spark accepts either)."""
+        return path[len("file://"):] if path.startswith("file://") else path
+
     def exists(self, spark: SparkSession, path: str) -> bool:
         if self.use_iceberg:
             return spark.catalog.tableExists(path)
-        return os.path.isdir(path) and bool(os.listdir(path))
+        p = self._local(path)
+        return os.path.isdir(p) and bool(os.listdir(p))
 
     def read(self, spark: SparkSession, path: str) -> Optional[DataFrame]:
         if not self.exists(spark, path):
@@ -103,12 +110,16 @@ class StorageAdapter:
                 "parquet merge_upsert fallback swaps directories with local "
                 f"os.rename and cannot target {path!r}; use "
                 "StorageAdapter(use_iceberg=True) for non-local URIs")
+        # the os-level swap needs a FILESYSTEM path: strip a file:// scheme
+        # (Spark accepts either spelling for the write itself)
+        local = self._local(path)
         staging = path.rstrip("/") + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
+        staging_local = local.rstrip("/") + ".staging"
+        shutil.rmtree(staging_local, ignore_errors=True)
         latest.write.mode("overwrite").parquet(staging)
-        old = path.rstrip("/") + ".old"
+        old = local.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(staging, path)
+        if os.path.isdir(local.rstrip("/")):
+            os.rename(local.rstrip("/"), old)
+        os.rename(staging_local, local.rstrip("/"))
         shutil.rmtree(old, ignore_errors=True)

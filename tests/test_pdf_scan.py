@@ -551,3 +551,49 @@ def test_resources_inherited_from_parent_pages_node():
     assert ps.count_text_chars(scan.content, scan.fonts) == 3
     assert ps.extract_text_layer(scan.content, scan.fonts) == \
         "".join(chr(0x4E00 + c - 1) for c in (1, 2, 3))
+
+
+def test_decode_parms_array_form_applies_predictor():
+    """/DecodeParms [<<...>>] (the standard spelling when /Filter is an
+    array) must apply the PNG predictor exactly like the bare-dict form —
+    silently skipping it decodes delta garbage as 'text'."""
+    import zlib as z
+    columns, rows = 5, 3
+    raw = bytes((r * 13 + c * 3) % 251 for r in range(rows)
+                for c in range(columns))
+    pred = bytearray()
+    prev = bytes(columns)
+    for r in range(rows):
+        row = raw[r * columns:(r + 1) * columns]
+        pred.append(2)  # Up
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    packed = z.compress(bytes(pred))
+    for spelling in (b"/Filter [/FlateDecode] /DecodeParms [<< /Predictor 12"
+                     b" /Colors 1 /BitsPerComponent 8 /Columns 5 >>]",
+                     b"/Filter /FlateDecode /DecodeParms << /Predictor 12"
+                     b" /Colors 1 /BitsPerComponent 8 /Columns 5 >>"):
+        body = (b"<< " + spelling + b" /Length "
+                + str(len(packed)).encode() + b" >>\nstream\n"
+                + packed + b"\nendstream")
+        obj = ps._parse_objects(b"7 0 obj\n" + body + b"\nendobj\n")[7]
+        assert ps._decode_stream(obj, None) == raw, spelling
+
+
+def test_decode_parms_array_null_slots():
+    """[null << ... >>]: parms align positionally with the filter array."""
+    parms = ps._decode_parms(
+        b"<< /Filter [/ASCIIHexDecode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 12 /Columns 4 >>] >>")
+    assert parms == [{}, {b"Predictor": 12, b"Columns": 4}]
+
+
+def test_text_layer_multibyte_char_split_across_show_ops():
+    """Writers split show strings mid-UTF-8-char: the fontless decode must
+    join a block's bytes BEFORE decoding (U+4E16 split across two Tj)."""
+    content = b"BT (\xe4\xb8) Tj (\x96) Tj ET"
+    assert ps.extract_text_layer(content) == "世"
+    # and per-BLOCK only: a block boundary still separates the bytes
+    # (each fragment decodes alone: truncated lead -> one U+FFFD each)
+    two_blocks = b"BT (\xe4\xb8) Tj ET BT (\x96) Tj ET"
+    assert ps.extract_text_layer(two_blocks) == "�\n�"

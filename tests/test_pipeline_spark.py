@@ -153,3 +153,22 @@ def test_image_rows_in_corpus(results):
     assert E.ACTION_NEEDS_OCR in img_actions
     for r in imgs:
         assert r["action"] in (E.ACTION_NEEDS_OCR, E.ACTION_PARSE_FAILURE)
+
+
+def test_merge_upsert_accepts_file_scheme(spark, tmp_path):
+    """file:// is a LOCAL path: the parquet fallback's os-level swap must
+    strip the scheme instead of silently missing the existing table (a
+    miss would drop checkpoint history on every merge)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.sources.storage import StorageAdapter
+    st = StorageAdapter()
+    path = "file://" + str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([(1, 10, 1)], "k int, v int, ts int")
+    st.merge_upsert(spark, path, df1, ["k"], "ts")
+    df2 = spark.createDataFrame([(1, 20, 2), (2, 5, 1)],
+                                "k int, v int, ts int")
+    st.merge_upsert(spark, path, df2, ["k"], "ts")
+    got = {r["k"]: r["v"] for r in st.read(spark, path).collect()}
+    assert got == {1: 20, 2: 5}  # newest-wins AND history preserved
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        st.merge_upsert(spark, "s3://bucket/ckpt", df1, ["k"], "ts")

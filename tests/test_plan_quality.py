@@ -196,3 +196,15 @@ def test_repetition_stats_is_shuffle_free_projection(spark):
     phys = ts.repetition_stats(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in phys
+
+
+def test_curation_verdict_single_projection_one_exchange(spark):
+    """q50 shape: all per-row signals fused into ONE projection; the only
+    exchange is the dedup window's digest shuffle — zero joins."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    docs = spark.createDataFrame([(1, "the a b"), (2, "the a b")],
+                                 "doc_id int, text string")
+    phys = cu.curation_verdict(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in phys
+    assert phys.count("Exchange") == 1
