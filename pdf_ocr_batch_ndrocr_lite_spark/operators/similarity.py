@@ -14,6 +14,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# NOTE on the vector kernels: the left-fold F.aggregate/zip_with form is
+# chosen because the DuckDB oracle can replicate the exact IEEE addition
+# sequence (bitwise-reproducible scores).  When bit-parity is not a
+# requirement, the production fast path is a vectorized Arrow pandas_udf
+# over numpy (BLAS dot; ~10x on wide vectors) — the plan shape (map stage,
+# no shuffle) is identical, so swapping kernels does not change any of the
+# scale properties asserted by the plan tests.
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)

@@ -250,23 +250,42 @@ def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Line-level Gopher duplicates for newline-structured texts: fraction
     of lines that are repeats of an earlier-seen line, and the fraction of
-    CHARACTERS those repeats carry (boilerplate footers repeat verbatim)."""
-    lines = docs.select(
+    CHARACTERS those repeats carry (boilerplate footers repeat verbatim).
+
+    Row-local like `repetition_stats`: duplicate occurrences are the
+    equal-adjacent runs of the SORTED line array — zero shuffle (the
+    values never leave their row).  Docs with no non-blank lines yield no
+    row, matching the previous groupBy formulation."""
+    lines = F.array_sort(
+        F.filter(F.split(F.col(text_col), r"\n"),
+                 lambda ln: F.trim(ln) != ""))
+    # fold state: (prev line, duplicate-occurrence count, duplicate chars)
+    dup = F.aggregate(
+        lines,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("bigint").alias("dl"),
+                 F.lit(0).cast("bigint").alias("dc")),
+        lambda acc, ln: F.struct(
+            ln.alias("prev"),
+            F.when(ln == acc["prev"], acc["dl"] + 1)
+            .otherwise(acc["dl"]).alias("dl"),
+            F.when(ln == acc["prev"], acc["dc"] + F.length(ln))
+            .otherwise(acc["dc"]).alias("dc"),
+        ),
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_chars = F.aggregate(lines, F.lit(0).cast("bigint"),
+                          lambda acc, ln: acc + F.length(ln))
+    return docs.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.col(text_col), r"\n"),
-                     lambda ln: F.trim(ln) != "")).alias("line"))
-    per_line = lines.groupBy(id_col, "line").agg(
-        F.count(F.lit(1)).alias("c"), F.length("line").alias("len"))
-    return per_line.groupBy(id_col).agg(
-        F.sum("c").alias("n_lines"),
-        (F.sum("c") - F.count(F.lit(1))).alias("dup_lines"),
-        F.sum(F.col("c") * F.col("len")).alias("n_chars"),
-        F.sum((F.col("c") - 1) * F.col("len")).alias("dup_chars"),
-    ).select(
+        n_lines.alias("n_lines"),
+        dup["dl"].alias("dup_lines"),
+        n_chars.alias("n_chars_all"),
+        dup["dc"].alias("dup_chars"),
+    ).filter(F.col("n_lines") > 0).select(
         F.col(id_col), "n_lines", "dup_lines",
         (F.col("dup_lines") / F.col("n_lines").cast("double"))
         .alias("dup_line_frac"),
-        (F.col("dup_chars") / F.col("n_chars").cast("double"))
+        (F.col("dup_chars") / F.col("n_chars_all").cast("double"))
         .alias("dup_line_char_frac"),
     )
