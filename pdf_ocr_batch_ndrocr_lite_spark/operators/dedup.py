@@ -153,6 +153,24 @@ def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(losers, id_col, "left_anti")
 
 
+def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 3,
+                               min_df: int = 2) -> DataFrame:
+    """(shingle, df): how many DISTINCT documents each k-shingle appears
+    in.  This is the corpus profile that calibrates the similarity-join
+    guards — the `max_df` stop-shingle cutoff in `ngram_jaccard_pairs` /
+    `minhash_dedup` is chosen by inspecting exactly this distribution
+    (ubiquitous shingles are the quadratic-join hazard).  One explode +
+    one combining groupBy over digest-sized rows; `min_df` prunes the
+    singleton long tail before it is ever shuffled to the driver/sink."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("shingle")
+    ).dropDuplicates([id_col, "shingle"])
+    return (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df))
+
+
 # ---------------------------------------------------------------------------
 # Skewed-key aggregation: two-phase salted groupBy.  Spark's partial
 # aggregation already defuses most skew for algebraic aggs; the explicit

@@ -287,3 +287,17 @@ def test_embedding_hot_bucket_split_bounds_cell_size(spark):
     assert max_cell < 40  # no cell inherits the whole bucket
     # per-cell candidate volume: a-side (full bucket) x b-side (one cell)
     assert 40 * max_cell < 40 * 40
+
+
+def test_shingle_document_frequency_distinct_docs(spark):
+    """df counts DISTINCT documents (a shingle repeated inside one doc
+    counts once), and min_df prunes the singleton tail."""
+    docs = spark.createDataFrame(
+        [(1, "of the of the of the"),   # 'of the' appears 3x IN doc 1
+         (2, "of the something else"),
+         (3, "entirely different words")],
+        "doc_id int, text string")
+    got = {r["shingle"]: r["df"]
+           for r in dd.shingle_document_frequency(
+               docs, k=2, min_df=2).collect()}
+    assert got == {"of the": 2}  # 2 docs, not 4 occurrences
