@@ -84,12 +84,19 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
     threshold) > 'kept'."""
     from . import textstats as ts
 
-    sig = docs.select(
+    # the sorted-gram array is staged in its own projection: HOF
+    # expressions are never CSE'd (SPARK-35410), and the fraction
+    # references it twice (run fold + size)
+    staged = docs.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("_md5"),
         ts.lang_pred_col(text_col).alias("lang_pred"),
         ts.quality_col(text_col).alias("quality"),
-        ts.top_gram_frac_col(text_col, k).alias("top_gram_frac"),
+        ts.sorted_grams_col(text_col, k).alias("_g"),
+    )
+    sig = staged.select(
+        F.col(id_col), F.col("_md5"), F.col("lang_pred"), F.col("quality"),
+        ts.top_gram_frac_col(F.col("_g")).alias("top_gram_frac"),
     )
     w = Window.partitionBy("_md5").orderBy(F.col(id_col))
     v = sig.withColumn("_rn", F.row_number().over(w))

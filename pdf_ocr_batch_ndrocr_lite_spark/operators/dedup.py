@@ -160,12 +160,15 @@ def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
     in.  This is the corpus profile that calibrates the similarity-join
     guards — the `max_df` stop-shingle cutoff in `ngram_jaccard_pairs` /
     `minhash_dedup` is chosen by inspecting exactly this distribution
-    (ubiquitous shingles are the quadratic-join hazard).  One explode +
-    one combining groupBy over digest-sized rows; `min_df` prunes the
-    singleton long tail before it is ever shuffled to the driver/sink."""
+    (ubiquitous shingles are the quadratic-join hazard).  Per-doc dedup
+    is ROW-LOCAL (array_distinct before the explode — a dropDuplicates
+    here would be a second full shuffle of the shingle stream), leaving
+    one explode + one combining groupBy; `min_df` prunes the singleton
+    long tail before it is ever shuffled to the driver/sink."""
     sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("shingle")
-    ).dropDuplicates([id_col, "shingle"])
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("shingle"))
     return (sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") >= min_df))

@@ -187,16 +187,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def _gram_count_cols(text_col: str, k: int):
-    """(n_grams, top_gram_count, distinct_grams) column triple — the
-    row-local core shared by `repetition_stats` and the fused curation
-    projection."""
+def sorted_grams_col(text_col: str = "text", k: int = 2):
+    """Sorted k-gram array — STAGE this in its own projection before the
+    count folds reference it: Spark never common-subexpression-eliminates
+    lambda-bearing expressions (SPARK-35410), so inlining it into several
+    count columns recomputes the split+sort per reference."""
     from .dedup import shingles_col
 
-    grams = F.array_sort(shingles_col(text_col, k))
-    # longest run of equal adjacent grams = max frequency; fold state is
-    # (previous gram, current run length, best run length)
-    run = F.aggregate(
+    return F.array_sort(shingles_col(text_col, k))
+
+
+def _top_run_col(grams):
+    """Longest run of equal adjacent grams in an already-SORTED gram
+    array column = max frequency.  Fold state: (previous gram, current
+    run length, best run length)."""
+    return F.aggregate(
         grams,
         F.struct(F.lit("").alias("prev"), F.lit(0).cast("bigint").alias("run"),
                  F.lit(0).cast("bigint").alias("best")),
@@ -211,15 +216,11 @@ def _gram_count_cols(text_col: str, k: int):
         ),
         lambda acc: acc["best"],
     )
-    n_grams = F.size(grams).cast("bigint")
-    distinct = F.size(F.array_distinct(grams)).cast("bigint")
-    return n_grams, run, distinct
 
 
-def top_gram_frac_col(text_col: str = "text", k: int = 2):
-    """Most-frequent-k-gram share as a pure COLUMN expression."""
-    n_grams, run, _ = _gram_count_cols(text_col, k)
-    return run / n_grams.cast("double")
+def top_gram_frac_col(grams_col):
+    """Most-frequent-k-gram share over a STAGED sorted-gram column."""
+    return _top_run_col(grams_col) / F.size(grams_col).cast("double")
 
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -231,12 +232,14 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     top_gram_frac  = count(most frequent k-gram) / count(all k-grams)
     dup_gram_frac  = (n_grams - distinct_grams) / n_grams
     """
-    n_grams, run, distinct = _gram_count_cols(text_col, k)
-    return docs.select(
+    staged = docs.select(
+        F.col(id_col), sorted_grams_col(text_col, k).alias("_g"))
+    g = F.col("_g")
+    return staged.select(
         F.col(id_col),
-        n_grams.alias("n_grams"),
-        run.alias("top_gram_count"),
-        distinct.alias("distinct_grams"),
+        F.size(g).cast("bigint").alias("n_grams"),
+        _top_run_col(g).alias("top_gram_count"),
+        F.size(F.array_distinct(g)).cast("bigint").alias("distinct_grams"),
     ).select(
         F.col(id_col), "n_grams", "top_gram_count", "distinct_grams",
         (F.col("top_gram_count") / F.col("n_grams").cast("double"))
@@ -255,10 +258,16 @@ def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
     Row-local like `repetition_stats`: duplicate occurrences are the
     equal-adjacent runs of the SORTED line array — zero shuffle (the
     values never leave their row).  Docs with no non-blank lines yield no
-    row, matching the previous groupBy formulation."""
-    lines = F.array_sort(
-        F.filter(F.split(F.col(text_col), r"\n"),
-                 lambda ln: F.trim(ln) != ""))
+    row, matching the previous groupBy formulation.  The line array and
+    the dup fold are STAGED in their own projections (HOF expressions are
+    never CSE'd, SPARK-35410 — inlining them recomputes split/sort/fold
+    per referencing column)."""
+    staged = docs.select(
+        F.col(id_col),
+        F.array_sort(
+            F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda ln: F.trim(ln) != "")).alias("_lines"))
+    lines = F.col("_lines")
     # fold state: (prev line, duplicate-occurrence count, duplicate chars)
     dup = F.aggregate(
         lines,
@@ -273,15 +282,20 @@ def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
             .otherwise(acc["dc"]).alias("dc"),
         ),
     )
-    n_lines = F.size(lines).cast("bigint")
     n_chars = F.aggregate(lines, F.lit(0).cast("bigint"),
                           lambda acc, ln: acc + F.length(ln))
-    return docs.select(
+    folded = staged.select(
         F.col(id_col),
-        n_lines.alias("n_lines"),
-        dup["dl"].alias("dup_lines"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        dup.alias("_d"),
         n_chars.alias("n_chars_all"),
-        dup["dc"].alias("dup_chars"),
+    )
+    return folded.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("_d")["dl"].alias("dup_lines"),
+        F.col("n_chars_all"),
+        F.col("_d")["dc"].alias("dup_chars"),
     ).filter(F.col("n_lines") > 0).select(
         F.col(id_col), "n_lines", "dup_lines",
         (F.col("dup_lines") / F.col("n_lines").cast("double"))
