@@ -94,9 +94,15 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
         ts.quality_col(text_col).alias("quality"),
         ts.sorted_grams_col(text_col, k).alias("_g"),
     )
+    # coalesce: a doc with no grams (NULL text → NULL fraction) must fall
+    # through to 'kept' DETERMINISTICALLY, not via three-valued-logic
+    # accident (NULL > threshold is NULL, which WHEN treats as false — the
+    # coalesce makes the intent explicit and keeps the SQL oracle's
+    # LEFT JOIN + COALESCE formulation bitwise-aligned)
     sig = staged.select(
         F.col(id_col), F.col("_md5"), F.col("lang_pred"), F.col("quality"),
-        ts.top_gram_frac_col(F.col("_g")).alias("top_gram_frac"),
+        F.coalesce(ts.top_gram_frac_col(F.col("_g")), F.lit(0.0))
+        .alias("top_gram_frac"),
     )
     w = Window.partitionBy("_md5").orderBy(F.col(id_col))
     v = sig.withColumn("_rn", F.row_number().over(w))

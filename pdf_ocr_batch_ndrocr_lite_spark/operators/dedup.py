@@ -63,6 +63,56 @@ def shingles_col(text_col: str, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# Shared hot-bucket guard for bucketed self-joins.  A same-bucket self-join
+# is O(n²) in bucket size; with a skewed bucket distribution (template-spam
+# LSH bands, a degenerate quantizer cell) ONE bucket can own the stage as a
+# single straggler task.  `salted_self_join` splits buckets larger than
+# `bucket_cap` into s = min(max_salts, ceil(n / bucket_cap)) cells by id
+# hash: the left side is replicated into every cell, the right side lands
+# in its own cell, and the join key becomes (bucket, cell).  Total
+# comparison work is unchanged (it is the operator's output contract) but
+# the largest task shrinks ~s-fold and the hot bucket runs on s cores
+# instead of one.  Each qualifying pair matches exactly once (a replicated
+# into b's cell; the caller's a_id < b_id filter kills the mirror
+# orientation), so results are identical for ANY cap.
+#
+# Only OVER-cap buckets enter the broadcast salt dimension (everything
+# else coalesces to s = 1): at corpus scale the (band, key) LSH bucket
+# space is O(docs × bands), but the hot tail that needs splitting is tiny
+# by construction, so the broadcast stays bounded by the number of hot
+# buckets, never by bucket cardinality.
+# ---------------------------------------------------------------------------
+
+
+def salted_self_join(df: DataFrame, key_cols: list, id_col: str,
+                     bucket_cap: int, max_salts: int) -> DataFrame:
+    """Self-join `df` on `key_cols` with hot buckets salt-split.
+
+    Returns the joined frame aliased ``a``/``b`` with the
+    ``a.id < b.id`` orientation filter already applied; callers project
+    their payload columns via ``F.col("a.<col>")`` / ``F.col("b.<col>")``.
+    """
+    hot = (df.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") > bucket_cap)
+           .select(*key_cols,
+                   F.least(
+                       F.lit(max_salts).cast("int"),
+                       F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+                   ).alias("_s")))
+    cells = (df.join(F.broadcast(hot), list(key_cols), "left")
+             .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
+             .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col), F.lit(7)),
+                                         F.col("_s"))))
+    a = (cells.withColumn(
+            "_jcell", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+         .drop("_cell", "_s").alias("a"))
+    b = cells.withColumnRenamed("_cell", "_jcell").drop("_s").alias("b")
+    return (a.join(b, list(key_cols) + ["_jcell"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (Broder, "On the resemblance and containment of
 # documents", 1997; banding analysis as in Leskovec/Rajaraman/Ullman,
 # Mining of Massive Datasets ch. 3).
@@ -96,8 +146,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 8,
-                           bands: int = 4, k: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs (a_id < b_id, band) via banded LSH."""
+                           bands: int = 4, k: int = 3,
+                           bucket_cap: int = 1024,
+                           max_salts: int = 64) -> DataFrame:
+    """Candidate near-duplicate pairs (a_id < b_id) via banded LSH.
+
+    The (band, key) self-join goes through :func:`salted_self_join`: a
+    degenerate band bucket (mass-duplicated boilerplate all sharing a
+    signature — 100k docs in one bucket = 10^10 pairs in one task without
+    the guard) is salt-split into bounded cells.  Results are invariant to
+    the cap (the trailing ``distinct`` already dedups across bands)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
     band_cols = [
@@ -112,16 +170,13 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array(*band_cols)).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(b, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        salted_self_join(buckets, ["band", "key"], id_col,
+                         bucket_cap, max_salts)
         .select(F.col(f"a.{id_col}").alias("a_id"),
                 F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
     )
-    return pairs
 
 
 def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -335,41 +390,17 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     pairs compared — the 100 TB path replaces `bucket_col` with a learned
     coarse quantizer; the join shape is identical).
 
-    Hot-bucket guard: a same-bucket self-join is O(n²) in bucket size, and
-    with a skewed label distribution (or a degenerate quantizer cell) ONE
-    bucket can own the stage as a single straggler task.  Buckets larger
-    than ``bucket_cap`` are therefore salt-split into
-    ``s = min(max_salts, ceil(n / bucket_cap))`` cells by id hash: the
-    left side is replicated into every cell, the right side lands in its
-    own cell, and the join key becomes (bucket, cell) — total comparison
-    work is unchanged (it is the operator's output contract) but the
-    largest task shrinks by ~s and the hot bucket runs on s cores instead
-    of one.  Each qualifying pair is matched exactly once (a replicated
-    into b's cell; the a_id < b_id filter kills the mirror orientation),
-    so results are identical for any cap — buckets at or under the cap
-    take s = 1, the plain self-join."""
+    Hot-bucket guard: the same-bucket self-join goes through the shared
+    :func:`salted_self_join` (see its header comment for the salt-split
+    mechanics and the exactly-once pair argument) — results are identical
+    for any cap; buckets at or under the cap take s = 1, the plain
+    self-join."""
     base = emb.select(
         F.col(id_col), F.col(bucket_col).alias("_bk"),
         F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n"),
     )
-    # one row per bucket — broadcast the salt-factor dimension
-    salts = (base.groupBy("_bk")
-             .agg(F.count(F.lit(1)).alias("_bn"))
-             .select(
-                 "_bk",
-                 F.least(
-                     F.lit(max_salts).cast("int"),
-                     F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
-                 ).alias("_s")))
-    cells = base.join(F.broadcast(salts), "_bk").withColumn(
-        "_cell", F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.col("_s")))
-    a = (cells.withColumn(
-            "_jcell", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
-         .drop("_cell", "_s").alias("a"))
-    b = cells.withColumnRenamed("_cell", "_jcell").drop("_s").alias("b")
     return (
-        a.join(b, ["_bk", "_jcell"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        salted_self_join(base, ["_bk"], id_col, bucket_cap, max_salts)
         .withColumn(
             "cosine",
             _dot(F.col("a._v"), F.col("b._v"))

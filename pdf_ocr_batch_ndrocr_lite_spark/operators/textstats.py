@@ -129,8 +129,14 @@ def rolling_hash(docs: DataFrame, text_col: str = "text",
     `prefix_chars` characters: h = fold((acc*31 + codepoint) % M, init=7).
 
     Left fold via F.aggregate — fixed op order, exact int64 arithmetic,
-    bit-identical in any engine (DuckDB oracle uses list_reduce)."""
-    chars = F.slice(F.split(F.col(text_col), ""), 1, prefix_chars)
+    bit-identical in any engine (DuckDB oracle uses list_reduce).
+
+    The prefix is cut with ``substring`` BEFORE the per-char split: a
+    split-then-slice formulation materializes a per-char array of the FULL
+    text per row and keeps 256 — same result at ~1/1000th the allocation
+    on book-length documents (the oracle's ``substring(text, 1, 256)`` is
+    the same cut)."""
+    chars = F.split(F.substring(F.col(text_col), 1, prefix_chars), "")
     cps = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
     h = F.aggregate(
         cps, F.lit(ROLLING_INIT).cast("bigint"),
@@ -231,6 +237,10 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
     top_gram_frac  = count(most frequent k-gram) / count(all k-grams)
     dup_gram_frac  = (n_grams - distinct_grams) / n_grams
+
+    Docs with no grams (NULL text) yield no row — mirroring
+    `duplicate_line_stats`'s n_lines > 0 contract, so the fractions are
+    never NULL downstream (the curation cascade thresholds on them).
     """
     staged = docs.select(
         F.col(id_col), sorted_grams_col(text_col, k).alias("_g"))
@@ -240,7 +250,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         F.size(g).cast("bigint").alias("n_grams"),
         _top_run_col(g).alias("top_gram_count"),
         F.size(F.array_distinct(g)).cast("bigint").alias("distinct_grams"),
-    ).select(
+    ).filter(F.col("n_grams") > 0).select(
         F.col(id_col), "n_grams", "top_gram_count", "distinct_grams",
         (F.col("top_gram_count") / F.col("n_grams").cast("double"))
         .alias("top_gram_frac"),

@@ -289,6 +289,72 @@ def test_embedding_hot_bucket_split_bounds_cell_size(spark):
     assert 40 * max_cell < 40 * 40
 
 
+# ---------------------------------------------------------------------------
+# minhash_lsh_candidates: the (band, key) self-join now rides the shared
+# salted_self_join guard — a degenerate LSH bucket (mass-duplicated
+# boilerplate, identical signatures) must not become one O(n^2) task, and
+# the candidate set must be cap-invariant.
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_corpus(spark, hot_n=40, uniq_n=4):
+    """hot_n docs with IDENTICAL text — every band bucket holds all of
+    them (signatures equal by construction, no LSH luck) — plus a few
+    unique docs that must not join the hot bucket."""
+    rows = [(i, "common boilerplate text repeated everywhere")
+            for i in range(hot_n)]
+    rows += [(100 + i, f"unique document number {i} entirely different")
+             for i in range(uniq_n)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_lsh_candidates_cap_invariant(spark):
+    docs = _boilerplate_corpus(spark)
+
+    def key(rows):
+        return {(r["a_id"], r["b_id"]) for r in rows}
+
+    plain = key(dd.minhash_lsh_candidates(
+        docs, num_hashes=4, bands=2, k=2, bucket_cap=10**9).collect())
+    split = key(dd.minhash_lsh_candidates(
+        docs, num_hashes=4, bands=2, k=2, bucket_cap=8,
+        max_salts=16).collect())
+    # every identical-doc pair is a candidate, and the salt split changes
+    # nothing
+    assert {(a, b) for a in range(40) for b in range(a + 1, 40)} <= plain
+    assert split == plain
+
+
+def test_lsh_hot_bucket_split_bounds_cell_size(spark):
+    """With cap=8 the 40-doc band bucket splits into s=5 cells: the
+    largest single join cell sees 40 (replicated a-side) x ~8 (b-side)
+    candidates instead of 40 x 40 — mirroring the embedding guard
+    (same cell assignment salted_self_join computes)."""
+    s = 5  # ceil(40 / 8)
+    cells = (spark.range(0, 40)
+             .select(F.pmod(F.xxhash64(F.col("id").cast("int"), F.lit(7)),
+                            F.lit(s)).alias("cell"))
+             .groupBy("cell").count().collect())
+    assert len(cells) > 1  # the bucket genuinely spreads over cells
+    max_cell = max(r["count"] for r in cells)
+    assert max_cell < 40   # no cell inherits the whole bucket
+    assert 40 * max_cell < 40 * 40  # per-cell candidate volume shrinks
+
+
+def test_lsh_candidates_plan_has_salt_scaffold(spark):
+    """The optimized plan must carry the guard's cell machinery: the
+    pmod cell assignment and the per-bucket cell explode (a plain
+    unsalted self-join has neither)."""
+    docs = _boilerplate_corpus(spark)
+    plan = dd.minhash_lsh_candidates(
+        docs, num_hashes=4, bands=2, k=2, bucket_cap=8)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "pmod" in plan
+    # Generates: shingle explode (x2 sides), band explode (x2), cell
+    # explode (a-side) — at least 3 distinct explode stages survive
+    assert plan.count("Generate") >= 3
+
+
 def test_shingle_document_frequency_distinct_docs(spark):
     """df counts DISTINCT documents (a shingle repeated inside one doc
     counts once), and min_df prunes the singleton tail."""
