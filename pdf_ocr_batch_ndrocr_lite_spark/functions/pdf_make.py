@@ -14,7 +14,8 @@ images.  That is exactly the profile the text-layer predicate cares about.
 from __future__ import annotations
 
 import zlib
-from hashlib import md5
+from functools import lru_cache
+from hashlib import md5, sha256
 from typing import List, Optional, Sequence
 
 from .pdf_scan import _PAD, rc4
@@ -68,6 +69,108 @@ class _Encryption:
                 + b" /P " + str(self.p).encode()
                 + b" /O <" + self.o.hex().encode() + b">"
                 + b" /U <" + self.u.hex().encode() + b"> >>")
+
+
+class _EncryptionAESV2(_Encryption):
+    """Standard security handler, V4/R4 with the AESV2 crypt filter
+    (AES-128-CBC).  Key derivation is IDENTICAL to R3 (the parent's MD5
+    machinery, keylen 16); only the per-object cipher changes: per-object
+    key gains the 'sAlT' suffix, each stream is IV-prefixed CBC with
+    PKCS#7 padding.  IVs are deterministic (synthesis-only writer)."""
+
+    def encrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        from . import aes
+        k = md5(self.key + num.to_bytes(3, "little")
+                + gen.to_bytes(2, "little") + b"sAlT").digest()[:16]
+        iv = md5(b"iv:%d:%d" % (num, gen)).digest()[:16]
+        return iv + aes.cbc_encrypt(k, iv, aes.pkcs7_pad(data))
+
+    def dict_src(self) -> bytes:
+        return (b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                b" /P " + str(self.p).encode()
+                + b" /O <" + self.o.hex().encode() + b">"
+                + b" /U <" + self.u.hex().encode() + b"> >>")
+
+
+class _EncryptionAESV3:
+    """Standard security handler, V5 with the AESV3 crypt filter
+    (AES-256-CBC), revisions 6 (ISO 32000-2 Algorithm 2.B hash) and 5
+    (legacy single-SHA-256).  The 32-byte file key is used directly for
+    every stream (no per-object mix); /U carries hash+validation
+    salt+key salt, /UE the file key AES-wrapped under the
+    intermediate-key hash.  Salts and the file key are deterministic —
+    this writer only synthesizes fixtures."""
+
+    file_id = b"\x01" * 16
+
+    def __init__(self, user_pw: str = "", owner_pw: str = "owner",
+                 permissions: int = -4, r: int = 6) -> None:
+        from . import aes
+        self.p = permissions
+        self.r = r
+        upw = user_pw.encode("utf-8")[:127]
+        opw = (owner_pw or "owner").encode("utf-8")[:127]
+        vs = md5(b"u-vs:" + upw).digest()[:8]
+        ks = md5(b"u-ks:" + upw).digest()[:8]
+        self.key = sha256(b"filekey:" + upw + b":" + opw).digest()
+        if r == 6:
+            uh = aes.pdf2_hash(upw, vs, b"")
+            ik = aes.pdf2_hash(upw, ks, b"")
+        else:
+            uh = sha256(upw + vs).digest()
+            ik = sha256(upw + ks).digest()
+        self.u = uh + vs + ks
+        self.ue = aes.cbc_encrypt(ik, b"\x00" * 16, self.key)
+        ovs = md5(b"o-vs:" + opw).digest()[:8]
+        oks = md5(b"o-ks:" + opw).digest()[:8]
+        if r == 6:
+            oh = aes.pdf2_hash(opw, ovs, self.u)
+            oik = aes.pdf2_hash(opw, oks, self.u)
+        else:
+            oh = sha256(opw + ovs + self.u).digest()
+            oik = sha256(opw + oks + self.u).digest()
+        self.o = oh + ovs + oks
+        self.oe = aes.cbc_encrypt(oik, b"\x00" * 16, self.key)
+        # /Perms: P (4 LE) + ffffffff + 'T' (metadata encrypted) + 'adb'
+        # + 4 pad bytes, AES-256-ECB under the file key
+        perms = ((permissions & 0xFFFFFFFF).to_bytes(4, "little")
+                 + b"\xff\xff\xff\xff" + b"Tadb" + b"\x00" * 4)
+        self.perms = aes.encrypt_block_ecb(self.key, perms)
+
+    def encrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        from . import aes
+        iv = md5(b"iv:%d:%d" % (num, gen)).digest()[:16]
+        return iv + aes.cbc_encrypt(self.key, iv, aes.pkcs7_pad(data))
+
+    def dict_src(self) -> bytes:
+        return (b"<< /Filter /Standard /V 5 /R " + str(self.r).encode()
+                + b" /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                b" /P " + str(self.p).encode()
+                + b" /O <" + self.o.hex().encode() + b">"
+                + b" /U <" + self.u.hex().encode() + b">"
+                + b" /OE <" + self.oe.hex().encode() + b">"
+                + b" /UE <" + self.ue.hex().encode() + b">"
+                + b" /Perms <" + self.perms.hex().encode() + b"> >>")
+
+
+@lru_cache(maxsize=16)
+def _encryption_for(kind: str, user_pw: str):
+    """Build-once cache: the password-derived entries (/O /U /OE /UE)
+    never depend on document content, and the R6 hash costs ~0.3 s per
+    derivation — one object serves every fixture document."""
+    if kind == "rc4":
+        return _Encryption(user_pw=user_pw)
+    if kind == "aesv2":
+        return _EncryptionAESV2(user_pw=user_pw)
+    if kind == "aesv3":
+        return _EncryptionAESV3(user_pw=user_pw)
+    if kind == "aesv3r5":
+        return _EncryptionAESV3(user_pw=user_pw, r=5)
+    raise ValueError(f"unknown encryption kind {kind!r}")
 
 
 def _escape_literal(s: bytes) -> bytes:
@@ -176,18 +279,21 @@ def page_content(text: Optional[str]) -> bytes:
 def build_pdf(page_texts: Sequence[Optional[str]], compress: bool = False,
               user_pw: Optional[str] = None,
               corrupt: bool = False,
-              stream_filter: Optional[str] = None) -> bytes:
+              stream_filter: Optional[str] = None,
+              encrypt: str = "rc4") -> bytes:
     """Build one PDF.  `page_texts[i]` is page i's shown text (None/'' →
-    image-like page with no text operators).  `user_pw` switches on RC4
+    image-like page with no text operators).  `user_pw` switches on
     encryption (empty string = empty user password, which the scanner's
-    decrypt('') attempt must accept; non-empty = the attempt must fail).
+    decrypt('') attempt must accept; non-empty = the attempt must fail);
+    `encrypt` picks the handler profile: 'rc4' (V2/R3), 'aesv2' (V4/R4,
+    AES-128), 'aesv3' (V5/R6, AES-256) or 'aesv3r5' (V5/R5 legacy).
     `corrupt` truncates the body mid-object → structural parse failure.
     `stream_filter` selects the content-stream encoding ('flate', 'lzw',
     'ahx', 'a85', 'rl', or 'jpx' for a deliberately-undecodable stream);
     `compress=True` is the back-compat spelling of 'flate'."""
     if compress and stream_filter is None:
         stream_filter = "flate"
-    enc = _Encryption(user_pw=user_pw) if user_pw is not None else None
+    enc = _encryption_for(encrypt, user_pw) if user_pw is not None else None
     n_pages = len(page_texts)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page
     # (page obj, content obj)
@@ -283,6 +389,10 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
       Char count must be len(codes), NOT 2*len(codes).
     variant='winansi': simple font with bare /Encoding /WinAnsiEncoding —
       bytes decode through cp1252 (0x91-0x94 are the smart quotes).
+    variant='cid_raw': Type0 /Identity-H font with NO /ToUnicode — the
+      undecodable-CID boundary class (a predefined CMap named via
+      /Encoding without an embedded map): codes decode to U+FFFD and the
+      scanner must surface a page warning.
     """
     objs: List[bytes] = [b""]  # 1-indexed
 
@@ -318,6 +428,11 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
                        b"/Encoding /WinAnsiEncoding >>")
         lit = _escape_literal(bytes(codes))
         content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
+    elif variant == "cid_raw":
+        font_num = add(b"<< /Type /Font /Subtype /Type0 "
+                       b"/BaseFont /NoMapCID /Encoding /Identity-H >>")
+        hx = b"".join(b"%04X" % c for c in codes)
+        content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
     else:
         raise ValueError(f"unknown glyph variant {variant!r}")
     content_num = add(b"<< /Length " + str(len(content)).encode()

