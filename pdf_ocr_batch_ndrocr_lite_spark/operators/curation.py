@@ -36,20 +36,89 @@ def canonicalize_url(url_col):
 
 
 def extract_domain(url_col):
-    """Registrable-host extraction (host only; PSL-aware eTLD+1 would slot
-    in here on a cluster with the dependency)."""
+    """Full HOST extraction (no suffix logic — use
+    :func:`registrable_domain` for PSL-aware eTLD+1 grouping)."""
     return F.lower(F.regexp_extract(url_col, r"^[a-zA-Z]+://([^/:]+)", 1))
 
 
+# Frozen public-suffix subset (publicsuffix.org data, the high-traffic
+# 2-label entries a crawl actually hits): country-code second-level
+# registries plus the big shared-hosting suffixes.  Embedded as a literal
+# — no dependency, broadcast inside the expression.  3+-label suffixes
+# (rare) fall back to the 2-label rule; full-PSL parity would swap this
+# list for the published dat file, same expression shape.
+PUBLIC_SUFFIXES_2L = [
+    # ccTLD second-level registries
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in", "res.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.th", "ac.th", "go.th", "or.th", "in.th",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.vn", "com.ph",
+    "com.ng", "com.co", "com.pe", "com.ve", "com.uy", "com.ec",
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    # shared-hosting / platform suffixes (one registrant per label below)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "appspot.com", "netlify.app", "vercel.app",
+    "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudfront.net", "amazonaws.com", "readthedocs.io", "neocities.org",
+    "tumblr.com", "fastly.net",
+]
+
+
+def registrable_domain(url_col):
+    """PSL-aware eTLD+1: the registrable domain of the url's host.
+
+    ``a.co.jp`` and ``b.co.jp`` are DIFFERENT registrants — grouping by
+    bare host under-caps them, grouping by last-2 labels merges them into
+    one ``co.jp`` mega-key (wrong at crawl scale for every ccTLD
+    second-level registry).  Rule: if the last two labels form a public
+    suffix, the registrable domain is the last THREE labels, else the
+    last two; a bare 1-2-label host passes through.  Pure Catalyst
+    (split + element_at + isin over the frozen literal list)."""
+    host = extract_domain(url_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    return (F.when(n <= 2, host)
+            .when(last2.isin(PUBLIC_SUFFIXES_2L), last3)
+            .otherwise(last2))
+
+
 def per_domain_cap(docs: DataFrame, url_col: str = "url", cap: int = 3,
-                   order_col: str = "url") -> DataFrame:
+                   order_col: str = "url", psl: bool = False) -> DataFrame:
     """Keep at most `cap` documents per domain (deterministic order).
+
+    ``psl=True`` caps per REGISTRABLE domain (PSL-aware eTLD+1) instead
+    of per host — the source-diversity semantics a crawl curation pass
+    wants (one spam registrant cannot dodge the cap with wildcard
+    subdomains).
 
     Window row_number per domain — one shuffle on the domain key; skewed
     mega-domains are exactly what the cap removes, so the shuffle's own skew
     is self-limiting (only `cap` rows per key survive the window; AQE handles
     the sort-side skew)."""
-    domain = extract_domain(F.col(url_col))
+    domain = (registrable_domain(F.col(url_col)) if psl
+              else extract_domain(F.col(url_col)))
     w = Window.partitionBy(domain).orderBy(order_col)
     return (
         docs.withColumn("domain", domain)

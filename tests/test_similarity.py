@@ -177,3 +177,38 @@ def test_ivf_assignment_and_probe_recall(spark):
     one = sim.ivf_topk(emb, q, cents, k=5, nprobe=1).collect()
     assert all(r["cell"] == 0 for r in one)
     assert {r["vec_id"] % 3 for r in one} == {0}
+
+
+def test_registrable_domain_psl_rules(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    urls = [
+        ("https://a.co.jp/x", "a.co.jp"),           # registrant under ccSLD
+        ("https://w.a.co.jp/x", "a.co.jp"),          # subdomain rolls up
+        ("https://b.co.jp/x", "b.co.jp"),            # distinct registrant
+        ("https://user.github.io/p", "user.github.io"),  # platform suffix
+        ("https://w.d.example.org/p", "example.org"),    # plain TLD: last 2
+        ("https://example.org/p", "example.org"),
+        ("https://localhost/p", "localhost"),        # 1-label passthrough
+        ("HTTPS://WWW.Site.CO.UK/p", "site.co.uk"),  # case-folded host
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = [r[0] for r in df.select(
+        cu.registrable_domain(F.col("url"))).collect()]
+    assert got == [want for _, want in urls]
+
+
+def test_per_domain_cap_psl_vs_host(spark):
+    """psl=True caps per registrable domain: a.co.jp's five subdomains
+    collapse to one key (2 survivors of 5), while the host cap would keep
+    all 5; b.co.jp stays a separate registrant."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    rows = [(i, f"https://w{i}.a.co.jp/p") for i in range(5)] \
+        + [(10, "https://b.co.jp/p")]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    psl = cu.per_domain_cap(df, cap=2, order_col="doc_id", psl=True)
+    got = sorted((r["doc_id"], r["domain"]) for r in psl.collect())
+    assert got == [(0, "a.co.jp"), (1, "a.co.jp"), (10, "b.co.jp")]
+    host = cu.per_domain_cap(df, cap=2, order_col="doc_id", psl=False)
+    assert host.count() == 6  # every host unique: cap never binds
