@@ -83,7 +83,10 @@ def bench_queries(spark):
              # round-3 operators: glyph decoding, Gopher repetition,
              # composed curation cascade, IVF nprobe ANN
              "q48_glyph_decode", "q49_repetition_stats",
-             "q50_curation_pipeline", "q51_ivf_ann"]
+             "q50_curation_pipeline", "q51_ivf_ann",
+             # round-4: 16-class routing incl. AES-CBC decrypt path,
+             # PSL-aware registrable-domain cap
+             "q40_rawpdf_route", "q53_psl_domain_cap"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

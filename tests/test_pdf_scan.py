@@ -784,3 +784,28 @@ def test_aesv2_with_flate_filter_round_trips():
                       encrypt="aesv2", compress=True)
     has_text, pages, warnings = ps.scan_text_layer(pdf)
     assert (has_text, pages, warnings) == (True, 1, 0)
+
+
+def test_stream_length_heuristic_tolerates_junk_length():
+    """The declared-/Length cut only engages when consistent (within the
+    2-byte EOL pad); junk /Length values — crawl reality — fall back to
+    the tolerant EOL strip, and an INDIRECT /Length never misreads the
+    object id as the value."""
+    content = b"BT (ok) Tj ET"
+    # declared length junk-low: fall back to EOL strip
+    body = (b"7 0 obj\n<< /Length 2 >>\nstream\n" + content
+            + b"\nendstream\nendobj\n")
+    assert ps._parse_objects(body)[7].stream == content
+    # declared length exact + trailing EOL: cut at the declared length
+    body2 = (b"7 0 obj\n<< /Length " + str(len(content)).encode()
+             + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    assert ps._parse_objects(body2)[7].stream == content
+    # indirect /Length: first ref number must NOT be used as a length
+    body3 = (b"7 0 obj\n<< /Length 8 0 R >>\nstream\n" + content
+             + b"\nendstream\nendobj\n8 0 obj\n13\nendobj\n")
+    assert ps._parse_objects(body3)[7].stream == content
+    # binary stream ENDING in EOL bytes survives when /Length is right
+    blob = b"\x01\x02\x03\x0d\x0a"
+    body4 = (b"7 0 obj\n<< /Length 5 >>\nstream\n" + blob
+             + b"\nendstream\nendobj\n")
+    assert ps._parse_objects(body4)[7].stream == blob
