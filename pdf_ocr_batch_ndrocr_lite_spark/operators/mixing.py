@@ -1,0 +1,119 @@
+"""Training-data assembly operators: benchmark decontamination, sequence
+packing, and deterministic stratified sampling (data mixing).
+
+These are the steps BETWEEN curation and the dataloader in an LLM
+pretraining pipeline (cf. Brown et al. 2020 appendix C decontamination;
+Raffel et al. 2020 C4; the Dolma/FineWeb pipeline writeups): drop
+documents that leak evaluation-benchmark content, assign documents to
+fixed-token-budget training sequences, and hit per-stratum mixing ratios
+reproducibly.  All-declarative (JVM-side) with exact integer outputs so
+every operator has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination.  The benchmark side (eval suites) is SMALL —
+# a few hundred thousand distinct shingles — so it broadcasts; the corpus
+# side never shuffles its text: explode → broadcast-semi-join → combining
+# per-doc count.  At 100 TB the only exchange is the per-doc hit count
+# (map-side combinable, one int per (doc, map partition)).
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(docs: DataFrame, bench: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 3, min_overlap: int = 2) -> DataFrame:
+    """(id, matched_shingles) for documents sharing at least
+    ``min_overlap`` DISTINCT k-word shingles with any benchmark document.
+
+    Per-doc shingle dedup is ROW-LOCAL (array_distinct before the
+    explode — same shape as `shingle_document_frequency`); the benchmark
+    shingle set is distinct-ed once and broadcast."""
+    bsh = (bench.select(
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("shingle")).distinct())
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("shingle"))
+    return (dsh.join(F.broadcast(bsh), "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("matched_shingles"))
+            .filter(F.col("matched_shingles") >= min_overlap))
+
+
+def benchmark_decontaminate(docs: DataFrame, bench: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            min_overlap: int = 2) -> DataFrame:
+    """Corpus minus contaminated documents (anti-join on the hit frame)."""
+    hits = contamination_hits(docs, bench, id_col, text_col, k, min_overlap)
+    return docs.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk assignment of documents to
+# fixed-token-budget training sequences, per shard.  The window is
+# PARTITIONED (by the shard key) — packing is per-shard in every real
+# dataloader, which is exactly what keeps the cumulative sum parallel: one
+# exchange on the shard key, never a global single-partition sort.
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(docs: DataFrame, capacity: int,
+                   shard_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, shard, n_tokens, bin_id, bin_offset): each document starts at
+    the running-token offset of its shard's concat stream; ``bin_id`` is
+    the training sequence its FIRST token lands in (greedy
+    concat-then-chunk — documents may straddle bins, like a pretraining
+    packer that splits documents across context windows)."""
+    tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                             lambda w: w != "")).cast("bigint")
+    toked = docs.select(F.col(id_col), F.col(shard_col).alias("shard"),
+                        tokens.alias("n_tokens"))
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("shard").orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"))
+    return toked.select(
+        F.col(id_col), F.col("shard"), F.col("n_tokens"),
+        F.floor(cum_before / F.lit(capacity)).alias("bin_id"),
+        F.pmod(cum_before, F.lit(capacity)).alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (data mixing).  Mixing ratios per
+# stratum (lang/source/quality band) are hit REPRODUCIBLY by hashing the
+# document id into 10,000 buckets and keeping the first `rate * 10000` —
+# no RNG, no sampleBy non-determinism, re-runs and backfills select the
+# exact same documents.  Pure map stage: zero shuffle.
+# ---------------------------------------------------------------------------
+
+_MIX_BUCKETS = 10_000
+
+
+def stratified_sample(docs: DataFrame, rates: dict,
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep ``rates[stratum]`` of each stratum (permille-exact), chosen by
+    md5(id) bucket — engine-portable (the DuckDB oracle reproduces the
+    exact member set, not just the rate)."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("bigint"),
+        F.lit(_MIX_BUCKETS))
+    threshold = F.lit(int(default_rate * _MIX_BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(F.col(stratum_col) == stratum,
+                           F.lit(int(rate * _MIX_BUCKETS))) \
+            .otherwise(threshold)
+    return docs.filter(bucket < threshold)
