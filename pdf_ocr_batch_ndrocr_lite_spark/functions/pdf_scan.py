@@ -185,7 +185,10 @@ def _dict_string(dict_src: bytes, key: bytes) -> Optional[bytes]:
     end = dict_src.find(b">", m.end())
     if end < 0:
         return None
-    hx = re.sub(rb"\s+", b"", dict_src[m.end():end])
+    # drop every non-hex byte (not just whitespace): a corrupted hex
+    # string must degrade to best-effort bytes, not leak a bare
+    # ValueError out of the structured-failure contract
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", dict_src[m.end():end])
     if len(hx) % 2:
         hx += b"0"
     return bytes.fromhex(hx.decode("ascii"))

@@ -809,3 +809,32 @@ def test_stream_length_heuristic_tolerates_junk_length():
     body4 = (b"7 0 obj\n<< /Length 5 >>\nstream\n" + blob
              + b"\nendstream\nendobj\n")
     assert ps._parse_objects(body4)[7].stream == blob
+
+
+def test_adversarial_encrypt_dicts_never_raise_unexpected():
+    """Fuzz the ENCRYPTION surface specifically: mutated /Encrypt dicts
+    (V/R soup, truncated or garbage /U /UE /O, missing CF, byte-flipped
+    ciphertext) must yield only the contract exceptions or a clean scan —
+    never KeyError/IndexError/struct errors out of the AES/RC4 paths."""
+    import random
+    rnd = random.Random(1234)
+    base = pm.build_pdf(["fuzz target text"], user_pw="", encrypt="aesv3")
+    base_v2 = pm.build_pdf(["fuzz target text"], user_pw="", encrypt="aesv2")
+    frag = [b"/V 5", b"/V 4", b"/V 9", b"/R 6", b"/R 5", b"/R 2",
+            b"/U <00>", b"/U ()", b"/UE <11>", b"/O <>", b"/CFM /AESV3",
+            b"/CFM /AESV2", b"/CFM /Nope", b"/Length 256", b"/Length 40",
+            b"/EncryptMetadata false"]
+    for pdf in (base, base_v2):
+        for _ in range(150):
+            blob = bytearray(pdf)
+            # flip a few bytes anywhere (headers, dicts, ciphertext)
+            for _ in range(rnd.randrange(1, 6)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            # splice a random encrypt-dict fragment over the middle
+            f = frag[rnd.randrange(len(frag))]
+            at = rnd.randrange(len(blob) - len(f))
+            blob[at:at + len(f)] = f
+            try:
+                ps.scan_text_layer(bytes(blob))
+            except (ps.PdfParseError, ps.EncryptedPdfError):
+                pass  # structured failure only
