@@ -49,6 +49,26 @@ def parse_args(argv):
     p.add_argument("--num-partitions", type=int, default=0,
                    help="extraction-stage partitions (0 = shuffle default)")
     p.add_argument("--seed", type=int, default=42)
+    # corpus-curation mode: --input is a DOCUMENTS table (doc_id, text,
+    # lang); runs verdict -> near-dup -> [decontam] -> [mixing] instead of
+    # the extraction pipeline
+    p.add_argument("--curate", action="store_true",
+                   help="run the corpus-curation cascade instead of "
+                        "extraction (input: documents table)")
+    p.add_argument("--bench-input", default=None,
+                   help="benchmark/eval documents table for the "
+                        "decontamination stage (curate mode)")
+    p.add_argument("--mix-rates", default=None,
+                   help='JSON per-stratum keep rates, e.g. '
+                        '\'{"en": 0.5, "de": 0.8}\' (curate mode)')
+    p.add_argument("--default-rate", type=float, default=1.0,
+                   help="keep rate for strata absent from --mix-rates")
+    p.add_argument("--min-quality", type=float, default=0.45,
+                   help="verdict composite-quality kill threshold "
+                        "(curate mode)")
+    p.add_argument("--keep-unknown-lang", action="store_true",
+                   help="disable the verdict's lang kill (corpora the "
+                        "marker-word heuristic cannot cover)")
     return p.parse_args(argv)
 
 
@@ -74,6 +94,40 @@ def main(argv=None) -> int:
         spark = build_session(app_name="pdf-extract", master="local[*]")
 
     storage = StorageAdapter(use_iceberg=args.iceberg)
+
+    def read_table(name):
+        return (spark.read.table(name) if args.iceberg
+                else spark.read.parquet(name))
+
+    if args.curate:
+        from pyspark.sql import functions as F
+
+        from .plans.curate import run_curation
+        if args.synthetic_docs:
+            # documents-shaped synthetic input for smoke runs: derive a
+            # stable doc_id from the url (any deterministic id works —
+            # first-wins dedup just needs a total order)
+            docs = corpus_df(spark, args.synthetic_docs, seed=args.seed) \
+                .select(F.abs(F.xxhash64("url")).alias("doc_id"),
+                        "text", "lang")
+        else:
+            docs = read_table(args.input)
+        bench = read_table(args.bench_input) if args.bench_input else None
+        rates = json.loads(args.mix_rates) if args.mix_rates else None
+        t0 = time.perf_counter()
+        kept, counts = run_curation(docs, bench=bench, mix_rates=rates,
+                                    default_rate=args.default_rate,
+                                    min_quality=args.min_quality,
+                                    require_lang=not args.keep_unknown_lang)
+        if args.iceberg:
+            kept.writeTo(args.output).createOrReplace()
+        else:
+            kept.write.mode("overwrite").parquet(args.output)
+        counts["seconds"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(counts))
+        spark.stop()
+        return 0
+
     if args.synthetic_docs:
         pages = corpus_df(spark, args.synthetic_docs, seed=args.seed)
     elif args.iceberg:

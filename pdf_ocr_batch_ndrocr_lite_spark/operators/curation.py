@@ -145,12 +145,17 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      min_quality: float = 0.45,
                      max_top_gram_frac: float = 0.10,
-                     k: int = 2) -> DataFrame:
+                     k: int = 2,
+                     require_lang: bool = True) -> DataFrame:
     """(id, keep, reason) per document.  Reason priority mirrors pipeline
     order: 'exact_dup' (not the first-seen copy of its text digest) >
     'lang' (language ID failed) > 'quality' (composite score below
     threshold) > 'repetition' (most-frequent k-gram share above
-    threshold) > 'kept'."""
+    threshold) > 'kept'.
+
+    ``require_lang=False`` disables the lang kill (corpora curated
+    without language filtering — e.g. code or multilingual crawls the
+    marker-word heuristic cannot cover); the other gates are unchanged."""
     from . import textstats as ts
 
     # the sorted-gram array is staged in its own projection: HOF
@@ -175,9 +180,11 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
     )
     w = Window.partitionBy("_md5").orderBy(F.col(id_col))
     v = sig.withColumn("_rn", F.row_number().over(w))
+    lang_fails = (F.col("lang_pred") == "unknown") if require_lang \
+        else F.lit(False)
     reason = (
         F.when(F.col("_rn") > 1, F.lit("exact_dup"))
-        .when(F.col("lang_pred") == "unknown", F.lit("lang"))
+        .when(lang_fails, F.lit("lang"))
         .when(F.col("quality") < F.lit(float(min_quality)), F.lit("quality"))
         .when(F.col("top_gram_frac") > F.lit(float(max_top_gram_frac)),
               F.lit("repetition"))

@@ -238,11 +238,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     top_gram_frac  = count(most frequent k-gram) / count(all k-grams)
     dup_gram_frac  = (n_grams - distinct_grams) / n_grams
 
-    Docs with no grams (NULL text) yield no row — mirroring
-    `duplicate_line_stats`'s n_lines > 0 contract, so the fractions are
-    never NULL downstream (the curation cascade thresholds on them).
+    Docs with no grams yield no row — mirroring `duplicate_line_stats`'s
+    n_lines > 0 contract, so the fractions are never NULL downstream (the
+    curation cascade thresholds on them).  The guard is expressed as the
+    EQUIVALENT cheap predicate ``text IS NOT NULL`` applied BEFORE the
+    gram projection: non-null text always yields ≥ 1 gram (a short text
+    collapses to one joined shingle), and a post-projection
+    ``n_grams > 0`` filter would be predicate-pushed through the staged
+    select, re-evaluating the whole HOF gram chain per row (lambdas are
+    never CSE'd, SPARK-35410 — measured 4x on the q49 bench).
     """
-    staged = docs.select(
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), sorted_grams_col(text_col, k).alias("_g"))
     g = F.col("_g")
     return staged.select(
@@ -250,7 +256,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         F.size(g).cast("bigint").alias("n_grams"),
         _top_run_col(g).alias("top_gram_count"),
         F.size(F.array_distinct(g)).cast("bigint").alias("distinct_grams"),
-    ).filter(F.col("n_grams") > 0).select(
+    ).select(
         F.col(id_col), "n_grams", "top_gram_count", "distinct_grams",
         (F.col("top_gram_count") / F.col("n_grams").cast("double"))
         .alias("top_gram_frac"),
@@ -268,11 +274,15 @@ def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
     Row-local like `repetition_stats`: duplicate occurrences are the
     equal-adjacent runs of the SORTED line array — zero shuffle (the
     values never leave their row).  Docs with no non-blank lines yield no
-    row, matching the previous groupBy formulation.  The line array and
-    the dup fold are STAGED in their own projections (HOF expressions are
-    never CSE'd, SPARK-35410 — inlining them recomputes split/sort/fold
-    per referencing column)."""
-    staged = docs.select(
+    row, matching the previous groupBy formulation; the guard is the
+    EQUIVALENT cheap pre-filter ``text rlike '[^ \\n]'`` (a line is
+    non-blank iff it has a char that is neither space nor newline) —
+    a post-projection ``n_lines > 0`` filter would be predicate-pushed
+    through the staged select and re-evaluate the whole split/sort chain
+    per row (lambdas are never CSE'd, SPARK-35410).  The line array and
+    the dup fold are STAGED in their own projections for the same
+    reason."""
+    staged = docs.filter(F.col(text_col).rlike("[^ \n]")).select(
         F.col(id_col),
         F.array_sort(
             F.filter(F.split(F.col(text_col), r"\n"),
@@ -306,7 +316,7 @@ def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
         F.col("_d")["dl"].alias("dup_lines"),
         F.col("n_chars_all"),
         F.col("_d")["dc"].alias("dup_chars"),
-    ).filter(F.col("n_lines") > 0).select(
+    ).select(
         F.col(id_col), "n_lines", "dup_lines",
         (F.col("dup_lines") / F.col("n_lines").cast("double"))
         .alias("dup_line_frac"),

@@ -1,0 +1,83 @@
+"""End-to-end corpus curation plan: the training-data pass that runs
+AFTER extraction (`plans.pipeline`) and BEFORE the dataloader.
+
+Stage order follows cost (cheapest kill first) — the CCNet/Gopher/
+FineWeb-style cascade assembled from the standalone operators, so every
+stage's semantics stay individually oracle-checked (q50, q34, q54, q56):
+
+1. verdict   — per-row signals fused in ONE projection + one dedup
+               window exchange (`curation.curation_verdict`)
+2. near-dup  — MinHash-LSH candidates → Jaccard verify → drop losers
+               (`dedup.minhash_dedup`, salt-split hot buckets)
+3. decontam  — drop docs sharing shingles with an eval/benchmark table
+               (`mixing.benchmark_decontaminate`, broadcast bench side)
+4. mixing    — deterministic per-stratum sampling to target ratios
+               (`mixing.stratified_sample`, zero shuffle)
+
+Each stage is optional; the plan returns (kept_docs, stage_counts) where
+stage_counts is the lineage row a metrics sink records per run.  At
+corpus scale the pass is: one scan → fused projection → dedup window
+exchange → LSH exchanges over digests → broadcast semi-join → map-side
+sample — document text is never shuffled after the verdict stage
+restricts to survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import curation as cu
+from ..operators import dedup as dd
+from ..operators import mixing as mx
+
+
+def run_curation(docs: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text",
+                 stratum_col: str = "lang",
+                 min_quality: float = 0.45,
+                 max_top_gram_frac: float = 0.10,
+                 require_lang: bool = True,
+                 near_dup: bool = True,
+                 jaccard_threshold: float = 0.8,
+                 max_df: Optional[int] = 10_000,
+                 bench: Optional[DataFrame] = None,
+                 min_overlap: int = 2,
+                 mix_rates: Optional[dict] = None,
+                 default_rate: float = 1.0):
+    """Returns (kept DataFrame, counts dict).  `counts` triggers one
+    lightweight count() per enabled stage boundary — acceptable lineage
+    cost (each is a column-pruned scan of the stage output)."""
+    counts = {"input": docs.count()}
+
+    verdict = cu.curation_verdict(
+        docs, id_col=id_col, text_col=text_col,
+        min_quality=min_quality, max_top_gram_frac=max_top_gram_frac,
+        require_lang=require_lang)
+    kept = docs.join(
+        verdict.filter(F.col("keep")).select(id_col), id_col, "left_semi")
+    counts["after_verdict"] = kept.count()
+
+    if near_dup:
+        kept = dd.minhash_dedup(
+            kept, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold, max_df=max_df)
+        counts["after_near_dup"] = kept.count()
+
+    if bench is not None:
+        kept = mx.benchmark_decontaminate(
+            kept, bench, id_col=id_col, text_col=text_col,
+            min_overlap=min_overlap)
+        counts["after_decontam"] = kept.count()
+
+    if mix_rates is not None:
+        kept = mx.stratified_sample(
+            kept, mix_rates, stratum_col=stratum_col, id_col=id_col,
+            default_rate=default_rate)
+        counts["after_mixing"] = kept.count()
+
+    counts["kept"] = list(counts.values())[-1]
+    return kept, counts
