@@ -230,6 +230,112 @@ def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (the C4 "discard every repeated three-
+# sentence span" / CCNet paragraph-dedup family, Raffel et al. 2020 §2.2):
+# documents are rewritten, not dropped — each repeated LINE survives only
+# at its first corpus position.  Lines shorter than `min_chars` are exempt
+# (blank lines, separators: ubiquitous short strings would otherwise both
+# gut formatting and create degenerate hot keys).
+#
+# Scale shape: the first-occurrence winner per line is an AGGREGATION
+# (min(struct(doc, pos)) per line digest — map-side combinable), NOT a
+# row_number window: a boilerplate line present in 10M documents would
+# make a window partition sort 10M rows in one task, while the combining
+# min ships one tiny struct per (digest, map partition).  Exempt lines
+# bypass the digest exchange entirely.  Three exchanges total: winner agg
+# (digest + 12B struct), winner join-back (the one full-text line
+# shuffle), and the per-doc rebuild.
+# ---------------------------------------------------------------------------
+
+
+def _doc_lines(docs: DataFrame, id_col: str, text_col: str, sep: str):
+    """(id, pos, line) — one row per line; NULL-text docs yield no rows
+    (posexplode of a NULL array), matching the SQL-oracle UNNEST."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+
+
+def _rebuild_docs(flagged: DataFrame, id_col: str, sep: str) -> DataFrame:
+    """Reassemble (id, pos, line, _keep) into (id, text, kept_lines,
+    dropped_lines).  collect_list skips the NULLs that `when` leaves for
+    dropped lines, so one aggregation carries both the rebuild and the
+    counts; array_sort on struct(pos, line) restores document order."""
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"]), sep).alias("text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("bigint").alias("kept_lines"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+        .cast("bigint").alias("dropped_lines"),
+    )
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_chars: int = 1,
+               sep: str = "\n") -> DataFrame:
+    """First-wins corpus-wide line dedup: every eligible line (length ≥
+    `min_chars`) keeps only its first occurrence in (id, pos) order;
+    later copies are dropped and documents rebuilt.  Returns
+    (id, text, kept_lines, dropped_lines).
+
+    `sep` is used both as the split regex and the rejoin string — plain
+    single-char separators only (a regex metachar separator would split
+    correctly but rejoin literally)."""
+    lines = _doc_lines(docs, id_col, text_col, sep)
+    elig = F.length("line") >= min_chars
+    keyed = lines.filter(elig).withColumn("_h", F.md5("line"))
+    winners = keyed.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+    flagged = (keyed.join(winners, "_h")
+               .withColumn("_keep",
+                           F.struct(F.col(id_col), F.col("pos"))
+                           == F.col("_w"))
+               .select(id_col, "pos", "line", "_keep")
+               .unionByName(lines.filter(~elig).select(
+                   id_col, "pos", "line", F.lit(True).alias("_keep"))))
+    return _rebuild_docs(flagged, id_col, sep)
+
+
+def line_doc_frequency(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_chars: int = 1,
+                       min_df: int = 2, sep: str = "\n") -> DataFrame:
+    """(line, df): how many DISTINCT documents contain each eligible
+    line — the corpus profile that calibrates `remove_boilerplate_lines`.
+    Per-doc dedup is row-local (array_distinct before the explode), same
+    shape as `shingle_document_frequency`."""
+    per_doc = docs.select(
+        F.explode(F.array_distinct(F.split(F.col(text_col), sep)))
+        .alias("line")).filter(F.length("line") >= min_chars)
+    return (per_doc.groupBy("line")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df))
+
+
+def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             max_doc_freq: int = 3, min_chars: int = 1,
+                             sep: str = "\n") -> DataFrame:
+    """Drop ALL occurrences of eligible lines present in more than
+    `max_doc_freq` distinct documents (nav menus, cookie banners, footer
+    chrome — the lines `line_dedup` would keep once but a training corpus
+    wants gone entirely).  Returns (id, text, kept_lines, dropped_lines).
+
+    The hot-line set is tiny by construction (df > max_doc_freq), so it
+    broadcasts; the corpus side never shuffles until the per-doc rebuild."""
+    hot = line_doc_frequency(docs, id_col, text_col, min_chars,
+                             max_doc_freq + 1, sep).select("line")
+    lines = _doc_lines(docs, id_col, text_col, sep)
+    flagged = (lines.join(F.broadcast(hot.withColumn("_hot", F.lit(True))),
+                          "line", "left")
+               .withColumn("_keep", F.col("_hot").isNull())
+               .select(id_col, "pos", "line", "_keep"))
+    return _rebuild_docs(flagged, id_col, sep)
+
+
+# ---------------------------------------------------------------------------
 # Skewed-key aggregation: two-phase salted groupBy.  Spark's partial
 # aggregation already defuses most skew for algebraic aggs; the explicit
 # two-phase form is for high-cardinality-payload aggs (collect_list-ish) or

@@ -367,3 +367,71 @@ def test_shingle_document_frequency_distinct_docs(spark):
            for r in dd.shingle_document_frequency(
                docs, k=2, min_df=2).collect()}
     assert got == {"of the": 2}  # 2 docs, not 4 occurrences
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup / boilerplate removal (q57/q58 operators)
+# ---------------------------------------------------------------------------
+
+
+def _line_corpus(spark):
+    return spark.createDataFrame(
+        [(0, "alpha beta gamma delta\n--\ncommon navigation line"),
+         (1, "common navigation line\nunique middle sentence\n--"),
+         (2, "--\n--\nrepeated inner line\nrepeated inner line"),
+         (3, "common navigation line\nanother unique line"),
+         ],
+        "doc_id int, text string")
+
+
+def test_line_dedup_first_wins_and_short_exempt(spark):
+    """Eligible (≥ min_chars) lines survive only at their first corpus
+    (doc_id, pos); short lines are exempt EVERYWHERE — including exact
+    repeats within one document."""
+    out = {r["doc_id"]: r for r in dd.line_dedup(
+        _line_corpus(spark), min_chars=5).collect()}
+    assert out[0]["text"] == "alpha beta gamma delta\n--\ncommon navigation line"
+    assert (out[0]["kept_lines"], out[0]["dropped_lines"]) == (3, 0)
+    # doc 1 loses the common line (doc 0 owns it) but keeps its short '--'
+    assert out[1]["text"] == "unique middle sentence\n--"
+    assert (out[1]["kept_lines"], out[1]["dropped_lines"]) == (2, 1)
+    # within-doc repeat: first occurrence kept, second dropped; the two
+    # '--' exempt copies both survive
+    assert out[2]["text"] == "--\n--\nrepeated inner line"
+    assert (out[2]["kept_lines"], out[2]["dropped_lines"]) == (3, 1)
+    assert out[3]["text"] == "another unique line"
+
+
+def test_line_dedup_winner_is_aggregation_not_window(spark):
+    """The first-occurrence winner must come from a combining min-struct
+    aggregation: a row_number window would sort a boilerplate line's
+    entire posting list (10M rows at corpus scale) in ONE task."""
+    plan = dd.line_dedup(_line_corpus(spark))._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert "min(" in plan
+
+
+def test_remove_boilerplate_drops_all_occurrences(spark):
+    """df > max_doc_freq lines vanish everywhere (first copy included);
+    under-threshold and short lines survive."""
+    out = {r["doc_id"]: r for r in dd.remove_boilerplate_lines(
+        _line_corpus(spark), max_doc_freq=2, min_chars=5).collect()}
+    # 'common navigation line' is in docs 0,1,3 (df=3 > 2): gone from ALL
+    assert out[0]["text"] == "alpha beta gamma delta\n--"
+    assert (out[0]["kept_lines"], out[0]["dropped_lines"]) == (2, 1)
+    assert out[1]["text"] == "unique middle sentence\n--"
+    # within-doc repetition does not inflate df: doc 2 untouched (df=1)
+    assert out[2]["text"] == "--\n--\nrepeated inner line\nrepeated inner line"
+    assert (out[2]["kept_lines"], out[2]["dropped_lines"]) == (4, 0)
+    # the hot-line set joins via broadcast (tiny by construction)
+    plan = dd.remove_boilerplate_lines(
+        _line_corpus(spark), max_doc_freq=2, min_chars=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_line_doc_frequency_distinct_docs(spark):
+    got = {r["line"]: r["df"] for r in dd.line_doc_frequency(
+        _line_corpus(spark), min_chars=5, min_df=2).collect()}
+    assert got == {"common navigation line": 3}
