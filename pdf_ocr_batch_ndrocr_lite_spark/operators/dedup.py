@@ -230,6 +230,89 @@ def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified-pair graph.
+# `minhash_dedup`'s pairwise lower-id-wins rule is not transitive — given
+# A~B and B~C (but not A~C) it keeps A and C even though all three are one
+# duplicate cluster.  Production dedup (the FineWeb/CCNet shape) clusters
+# the pair graph and keeps ONE representative per component.
+#
+# Algorithm: iterative min-label propagation with pointer jumping —
+# new_label(v) = min(label(v), label(label(v)), min over neighbors of
+# label(u)).  The pointer-jump join ("shortcutting") makes chains converge
+# in O(log diameter) rounds instead of O(diameter); near-dup graphs are
+# dense blobs with tiny diameter, so rounds ≈ 2-4 in practice.  Each round
+# is two shuffle joins + one combining min — no RDDs, no windows; per-round
+# `localCheckpoint` truncates the lineage (an unbounded iterative plan
+# re-optimizes the whole history every round).  The driver-side loop is
+# the documented exception to the no-driver-loops rule: iteration count is
+# O(log d), data never leaves the cluster, and the per-round `count()` is
+# the convergence test (zero label changes).  At larger scale the
+# large-star/small-star variant (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC 2014) bounds per-round skew too; the simple
+# propagation is right while components fit a task.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, component) for every node in `pairs`; component = the minimum
+    id reachable in the undirected pair graph.  Deterministic.  Raises
+    RuntimeError if not converged within `max_iter` rounds (graph
+    diameter pathologically large) rather than returning wrong labels."""
+    half = pairs.select(F.col(a_col).cast("bigint").alias("src"),
+                        F.col(b_col).cast("bigint").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.min("label").alias("_nbr")))
+        jump = (labels.alias("x")
+                .join(labels.alias("y"),
+                      F.col("x.label") == F.col("y.id"))
+                .select(F.col("x.id").alias("id"),
+                        F.col("y.label").alias("_jmp")))
+        upd = (labels.join(nbr, "id", "left").join(jump, "id", "left")
+               .select(
+                   "id", "label",
+                   F.least(
+                       F.col("label"),
+                       F.coalesce(F.col("_nbr"), F.col("label")),
+                       F.coalesce(F.col("_jmp"), F.col("label")),
+                   ).alias("_new"))
+               .localCheckpoint())
+        changed = upd.filter(F.col("_new") < F.col("label")).count()
+        labels = upd.select("id", F.col("_new").alias("label"))
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def cluster_dedup_keep_best(docs: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id",
+                            order_col: str = "n_chars") -> DataFrame:
+    """One survivor per near-dup cluster: within each connected component
+    of `pairs`, keep the doc with the LARGEST `order_col` (CCNet keeps
+    the longest copy), ties broken by lowest id; docs in no pair survive
+    untouched.  Returns the surviving rows of `docs`."""
+    comp = connected_components(pairs, max_iter=50)
+    members = docs.join(comp.withColumnRenamed("id", id_col), id_col)
+    winners = (members.groupBy("component")
+               .agg(F.min(F.struct(
+                   (-F.col(order_col)).alias("o"),
+                   F.col(id_col).alias("i"))).alias("_w"))
+               .select(F.col("_w.i").alias(id_col)))
+    losers = (members.select(id_col)
+              .join(winners, id_col, "left_anti"))
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Corpus-wide line-level dedup (the C4 "discard every repeated three-
 # sentence span" / CCNet paragraph-dedup family, Raffel et al. 2020 §2.2):
 # documents are rewritten, not dropped — each repeated LINE survives only

@@ -435,3 +435,45 @@ def test_line_doc_frequency_distinct_docs(spark):
     got = {r["line"]: r["df"] for r in dd.line_doc_frequency(
         _line_corpus(spark), min_chars=5, min_df=2).collect()}
     assert got == {"common navigation line": 3}
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components + keep-best (q59/q60)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B-C chained pairs form ONE component labelled by the min id —
+    the transitivity minhash_dedup's pairwise rule lacks; pointer
+    jumping must close a 6-node path well inside the iteration budget."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # 6-node path
+         (10, 11),                                  # separate pair
+         (20, 21), (21, 22), (20, 22)],             # triangle
+        "a_id bigint, b_id bigint")
+    got = {r["id"]: r["component"]
+           for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "a_id bigint, b_id bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=1)
+
+
+def test_cluster_dedup_keeps_longest_and_singletons(spark):
+    """Within a component the longest doc survives (ties → lowest id);
+    docs in no pair are untouched."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50),     # cluster {1,2,3}
+         (9, 10)],                                   # singleton
+        "doc_id bigint, n_chars bigint")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id bigint, b_id bigint")
+    kept = sorted(r["doc_id"] for r in dd.cluster_dedup_keep_best(
+        docs, pairs).collect())
+    # 2 and 3 tie at 300 chars → 2 wins; 4 and 9 unpaired → kept
+    assert kept == [2, 4, 9]
