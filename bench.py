@@ -85,8 +85,14 @@ def bench_queries(spark):
              "q48_glyph_decode", "q49_repetition_stats",
              "q50_curation_pipeline", "q51_ivf_ann",
              # round-4: 16-class routing incl. AES-CBC decrypt path,
-             # PSL-aware registrable-domain cap
-             "q40_rawpdf_route", "q53_psl_domain_cap"]
+             # PSL-aware registrable-domain cap, corpus-wide line dedup
+             # (the heaviest new text-shuffle op).  q59/q60 (iterative
+             # CC) are deliberately NOT picks: at sf0.1 they are
+             # dominated by ~14 rounds of fixed per-round barrier
+             # overhead, which measures the loop harness, not the
+             # operator; the oracle gate still runs them.
+             "q40_rawpdf_route", "q53_psl_domain_cap",
+             "q57_line_dedup"]
     qs = entrymod.queries()
     out = {}
     for name in picks:

@@ -241,33 +241,62 @@ def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
 # label(u)).  The pointer-jump join ("shortcutting") makes chains converge
 # in O(log diameter) rounds instead of O(diameter); near-dup graphs are
 # dense blobs with tiny diameter, so rounds ≈ 2-4 in practice.  Each round
-# is two shuffle joins + one combining min — no RDDs, no windows; per-round
-# `localCheckpoint` truncates the lineage (an unbounded iterative plan
-# re-optimizes the whole history every round).  The driver-side loop is
-# the documented exception to the no-driver-loops rule: iteration count is
-# O(log d), data never leaves the cluster, and the per-round `count()` is
-# the convergence test (zero label changes).  At larger scale the
-# large-star/small-star variant (Kiveris et al., "Connected Components in
-# MapReduce and Beyond", SoCC 2014) bounds per-round skew too; the simple
-# propagation is right while components fit a task.
+# is two shuffle joins + one combining min — no RDDs, no windows.  The
+# driver-side loop is the documented exception to the no-driver-loops
+# rule: iteration count is O(log d), data never leaves the cluster, and
+# the per-round `count()` is the convergence test (zero label changes).
+#
+# PER-ROUND BARRIER — parquet round-trip, deliberately NOT checkpoint():
+# the round's labels are written to scratch storage and re-read.  All of
+# `localCheckpoint` / reliable `checkpoint` / `persist` were measured
+# exploding ~4-5x PER ROUND in driver-side planning on this loop (0.5 s →
+# 76 s by round 13 on a 4 000-node path) even though row counts, printed
+# plans, and partition counts stay flat: the label↔label pointer-jump
+# self-join makes Catalyst clone one side with fresh instances each
+# round, and the clones re-derive per-plan state of the whole checkpoint
+# chain — 4 references per round compound to 4^rounds driver work.  A
+# parquet re-read starts each round from a fresh file relation with
+# file-based stats, so rounds stay O(1): measured flat 0.8 s/round, 15 s
+# total on the same graph that took 400+ s with checkpoints.  At larger
+# scale the large-star/small-star variant (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC 2014) bounds per-round skew
+# too; the simple propagation is right while components fit a task.
 # ---------------------------------------------------------------------------
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
-                         b_col: str = "b_id",
-                         max_iter: int = 50) -> DataFrame:
+                         b_col: str = "b_id", max_iter: int = 50,
+                         scratch_dir: str | None = None) -> DataFrame:
     """(id, component) for every node in `pairs`; component = the minimum
     id reachable in the undirected pair graph.  Deterministic.  Raises
     RuntimeError if not converged within `max_iter` rounds (graph
-    diameter pathologically large) rather than returning wrong labels."""
+    diameter pathologically large) rather than returning wrong labels.
+
+    `scratch_dir`: durable scratch path for the per-round iteration
+    barrier (see module comment).  Default: a driver-local temp dir —
+    correct for local mode; on a real cluster pass shared storage
+    (HDFS/S3).  Intermediate rounds are deleted as the loop advances;
+    the FINAL labels stay on disk because the returned DataFrame reads
+    them lazily."""
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    root = scratch_dir or tempfile.mkdtemp(prefix="spark_graft_cc_")
+
+    def _barrier(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{root}/{name}")
+        return spark.read.parquet(f"{root}/{name}")
+
     half = pairs.select(F.col(a_col).cast("bigint").alias("src"),
                         F.col(b_col).cast("bigint").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    edges = _barrier(
+        half.unionByName(half.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).distinct(),
+        "edges")
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                .groupBy(F.col("dst").alias("id"))
                .agg(F.min("label").alias("_nbr")))
@@ -276,18 +305,22 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
                       F.col("x.label") == F.col("y.id"))
                 .select(F.col("x.id").alias("id"),
                         F.col("y.label").alias("_jmp")))
-        upd = (labels.join(nbr, "id", "left").join(jump, "id", "left")
-               .select(
-                   "id", "label",
-                   F.least(
-                       F.col("label"),
-                       F.coalesce(F.col("_nbr"), F.col("label")),
-                       F.coalesce(F.col("_jmp"), F.col("label")),
-                   ).alias("_new"))
-               .localCheckpoint())
+        upd = _barrier(
+            labels.join(nbr, "id", "left").join(jump, "id", "left")
+            .select(
+                "id", "label",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_nbr"), F.col("label")),
+                    F.coalesce(F.col("_jmp"), F.col("label")),
+                ).alias("_new")),
+            f"labels_{rnd}")
         changed = upd.filter(F.col("_new") < F.col("label")).count()
         labels = upd.select("id", F.col("_new").alias("label"))
+        if rnd > 0:
+            shutil.rmtree(f"{root}/labels_{rnd - 1}", ignore_errors=True)
         if changed == 0:
+            shutil.rmtree(f"{root}/edges", ignore_errors=True)
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")

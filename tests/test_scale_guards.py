@@ -477,3 +477,21 @@ def test_cluster_dedup_keeps_longest_and_singletons(spark):
         docs, pairs).collect())
     # 2 and 3 tie at 300 chars → 2 wins; 4 and 9 unpaired → kept
     assert kept == [2, 4, 9]
+
+
+def test_line_dedup_idempotent_and_conserving(spark):
+    """Invariants: (a) kept+dropped per doc equals the doc's line count;
+    (b) a second pass over the deduped corpus is the identity (every
+    surviving line is already first-of-its-kind)."""
+    docs = _line_corpus(spark)
+    once = dd.line_dedup(docs, min_chars=5)
+    n_lines = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", F.size(F.split("text", "\n")).alias("n")).collect()}
+    for r in once.collect():
+        assert r["kept_lines"] + r["dropped_lines"] == n_lines[r["doc_id"]]
+    twice = dd.line_dedup(once.select("doc_id", "text"), min_chars=5)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r for r in twice.collect()}
+    assert set(a) == set(b)
+    for i, t in a.items():
+        assert b[i]["text"] == t and b[i]["dropped_lines"] == 0
