@@ -22,6 +22,7 @@ derivation runs once per distinct pair, not once per document.
 from __future__ import annotations
 
 import hashlib
+import struct
 from functools import lru_cache
 from typing import List, Tuple
 
@@ -197,18 +198,50 @@ def encrypt_block_ecb(key: bytes, block: bytes) -> bytes:
 
 
 def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-CBC, NO padding — len(data) must be a block multiple."""
+    """AES-CBC, NO padding — len(data) must be a block multiple.
+
+    The whole chain runs on u32 WORDS (one unpack in, one pack out, the
+    round loop inlined): the per-block formulation paid bytes<->int
+    conversions and a per-byte XOR generator expression per block on top
+    of the cipher (measured 1.4x on the R6 hash workload — tens of
+    thousands of chained blocks per password derivation; equality
+    fuzz-checked against the block-primitive formulation)."""
     if len(data) % 16:
         raise ValueError("cbc_encrypt: data not block-aligned")
     w, nr = _sched(key)
-    wl = list(w)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _encrypt_block(wl, nr, blk)
-        out += prev
-    return bytes(out)
+    T0, T1, T2, T3, S = _T0, _T1, _T2, _T3, SBOX
+    words = struct.unpack(f">{len(data) // 4}I", data)
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    w0, w1, w2, w3 = w[0], w[1], w[2], w[3]
+    kf = 4 * nr
+    wkf0, wkf1, wkf2, wkf3 = w[kf], w[kf + 1], w[kf + 2], w[kf + 3]
+    out = []
+    for i in range(0, len(words), 4):
+        s0 = words[i] ^ p0 ^ w0
+        s1 = words[i + 1] ^ p1 ^ w1
+        s2 = words[i + 2] ^ p2 ^ w2
+        s3 = words[i + 3] ^ p3 ^ w3
+        for rnd in range(1, nr):
+            k = 4 * rnd
+            t0 = (T0[s0 >> 24] ^ T1[(s1 >> 16) & 0xFF]
+                  ^ T2[(s2 >> 8) & 0xFF] ^ T3[s3 & 0xFF] ^ w[k])
+            t1 = (T0[s1 >> 24] ^ T1[(s2 >> 16) & 0xFF]
+                  ^ T2[(s3 >> 8) & 0xFF] ^ T3[s0 & 0xFF] ^ w[k + 1])
+            t2 = (T0[s2 >> 24] ^ T1[(s3 >> 16) & 0xFF]
+                  ^ T2[(s0 >> 8) & 0xFF] ^ T3[s1 & 0xFF] ^ w[k + 2])
+            t3 = (T0[s3 >> 24] ^ T1[(s0 >> 16) & 0xFF]
+                  ^ T2[(s1 >> 8) & 0xFF] ^ T3[s2 & 0xFF] ^ w[k + 3])
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        p0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16)
+              | (S[(s2 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ wkf0
+        p1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16)
+              | (S[(s3 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ wkf1
+        p2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16)
+              | (S[(s0 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ wkf2
+        p3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16)
+              | (S[(s1 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ wkf3
+        out += (p0, p1, p2, p3)
+    return struct.pack(f">{len(out)}I", *out)
 
 
 def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
