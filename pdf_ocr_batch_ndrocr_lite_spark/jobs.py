@@ -69,6 +69,10 @@ def parse_args(argv):
     p.add_argument("--keep-unknown-lang", action="store_true",
                    help="disable the verdict's lang kill (corpora the "
                         "marker-word heuristic cannot cover)")
+    p.add_argument("--transitive-dedup", action="store_true",
+                   help="near-dup survivor rule: cluster verified pairs "
+                        "via connected components and keep the longest "
+                        "per cluster (default: pairwise lower-id-wins)")
     return p.parse_args(argv)
 
 
@@ -118,7 +122,8 @@ def main(argv=None) -> int:
         kept, counts = run_curation(docs, bench=bench, mix_rates=rates,
                                     default_rate=args.default_rate,
                                     min_quality=args.min_quality,
-                                    require_lang=not args.keep_unknown_lang)
+                                    require_lang=not args.keep_unknown_lang,
+                                    transitive_dedup=args.transitive_dedup)
         if args.iceberg:
             kept.writeTo(args.output).createOrReplace()
         else:

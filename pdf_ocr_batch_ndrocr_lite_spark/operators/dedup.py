@@ -183,16 +183,26 @@ def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", num_hashes: int = 8,
                   bands: int = 4, k: int = 3,
                   jaccard_threshold: float = 0.8,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  transitive: bool = False,
+                  scratch_dir: str | None = None) -> DataFrame:
     """Composed near-dup removal: LSH candidates → Jaccard verify → drop.
 
-    Survivor rule: within each verified near-dup pair, the lower id wins
-    (first-seen-wins, transitively applied via drop-set).  Three shuffles
-    total (signatures, buckets, verify join) — all over digests/ids, never
-    over document text.  ``max_df`` caps shingle document frequency inside
-    the verify stage (computed over the candidate-doc subset): the LSH
-    bucketing already bounds WHICH docs are verified, the DF cap bounds the
-    per-shingle join fan-out within them."""
+    Survivor rule: pairwise by default — within each verified near-dup
+    pair, the lower id wins (drop-set anti-join).  ``transitive=True``
+    upgrades to the FineWeb-grade rule: verified pairs are clustered via
+    :func:`connected_components` and ONE doc survives per cluster (the
+    longest text, ties → lowest id).  Pairwise can over-keep on chains
+    (A~B, B~C keeps A and C); transitive cannot, at the cost of the
+    iterative CC rounds (`scratch_dir` passes the iteration-barrier path
+    through — see connected_components).
+
+    Three shuffles total in pairwise mode (signatures, buckets, verify
+    join) — all over digests/ids, never over document text.  ``max_df``
+    caps shingle document frequency inside the verify stage (computed
+    over the candidate-doc subset): the LSH bucketing already bounds
+    WHICH docs are verified, the DF cap bounds the per-shingle join
+    fan-out within them."""
     candidates = minhash_lsh_candidates(docs, id_col, text_col,
                                         num_hashes, bands, k)
     cand_ids = (candidates.select(F.col("a_id").alias(id_col))
@@ -204,6 +214,11 @@ def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
     verified = ngram_jaccard_pairs(cand_docs, id_col, text_col, k,
                                    jaccard_threshold, max_df=max_df) \
         .join(candidates, ["a_id", "b_id"], "left_semi")
+    if transitive:
+        ranked = docs.withColumn("_cdo", F.length(F.col(text_col)))
+        return cluster_dedup_keep_best(
+            ranked, verified.select("a_id", "b_id"), id_col=id_col,
+            order_col="_cdo", scratch_dir=scratch_dir).drop("_cdo")
     losers = verified.select(F.col("b_id").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
@@ -328,12 +343,14 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
 
 def cluster_dedup_keep_best(docs: DataFrame, pairs: DataFrame,
                             id_col: str = "doc_id",
-                            order_col: str = "n_chars") -> DataFrame:
+                            order_col: str = "n_chars",
+                            scratch_dir: str | None = None) -> DataFrame:
     """One survivor per near-dup cluster: within each connected component
     of `pairs`, keep the doc with the LARGEST `order_col` (CCNet keeps
     the longest copy), ties broken by lowest id; docs in no pair survive
     untouched.  Returns the surviving rows of `docs`."""
-    comp = connected_components(pairs, max_iter=50)
+    comp = connected_components(pairs, max_iter=50,
+                                scratch_dir=scratch_dir)
     members = docs.join(comp.withColumnRenamed("id", id_col), id_col)
     winners = (members.groupBy("component")
                .agg(F.min(F.struct(

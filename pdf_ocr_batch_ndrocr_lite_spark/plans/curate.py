@@ -44,6 +44,7 @@ def run_curation(docs: DataFrame,
                  near_dup: bool = True,
                  jaccard_threshold: float = 0.8,
                  max_df: Optional[int] = 10_000,
+                 transitive_dedup: bool = False,
                  bench: Optional[DataFrame] = None,
                  min_overlap: int = 2,
                  mix_rates: Optional[dict] = None,
@@ -64,7 +65,8 @@ def run_curation(docs: DataFrame,
     if near_dup:
         kept = dd.minhash_dedup(
             kept, id_col=id_col, text_col=text_col,
-            jaccard_threshold=jaccard_threshold, max_df=max_df)
+            jaccard_threshold=jaccard_threshold, max_df=max_df,
+            transitive=transitive_dedup)
         counts["after_near_dup"] = kept.count()
 
     if bench is not None:

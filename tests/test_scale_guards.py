@@ -495,3 +495,23 @@ def test_line_dedup_idempotent_and_conserving(spark):
     assert set(a) == set(b)
     for i, t in a.items():
         assert b[i]["text"] == t and b[i]["dropped_lines"] == 0
+
+
+def test_minhash_dedup_transitive_mode(spark):
+    """Chain A~B~C (ends NOT similar): the pairwise rule drops every
+    b_id ({2,3}) — losing doc 3's content even though its only similar
+    doc was itself dropped; the transitive rule collapses the component
+    to ONE survivor, the longest text (doc 3: later w-words are wider).
+    Same minhash/verify machinery, different survivor rule."""
+    w = [f"w{i}" for i in range(1, 29)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(w[0:16])), (2, " ".join(w[4:20])),
+         (3, " ".join(w[8:24]))],
+        "doc_id int, text string")
+    kw = dict(num_hashes=4, bands=2, k=2, jaccard_threshold=0.5)
+    pairwise = sorted(r["doc_id"]
+                      for r in dd.minhash_dedup(docs, **kw).collect())
+    transitive = sorted(r["doc_id"] for r in dd.minhash_dedup(
+        docs, transitive=True, **kw).collect())
+    assert pairwise == [1]
+    assert transitive == [3]
