@@ -112,6 +112,38 @@ def salted_self_join(df: DataFrame, key_cols: list, id_col: str,
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
 
 
+def salted_two_sided_join(a: DataFrame, b: DataFrame, key_cols: list,
+                          b_id_col: str, bucket_cap: int,
+                          max_salts: int) -> DataFrame:
+    """Join `a` × `b` on `key_cols` with hot buckets salt-split — the
+    two-sided sibling of :func:`salted_self_join` for new-batch ×
+    existing-corpus joins.  Cells are sized from the B (corpus) side:
+    each b row lands in one cell by id hash, each a row is replicated
+    into every cell, so every qualifying (a, b) pair matches exactly
+    once and results are invariant to the cap.  Frames are returned
+    aliased ``a``/``b``."""
+    hot = (b.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") > bucket_cap)
+           .select(*key_cols,
+                   F.least(
+                       F.lit(max_salts).cast("int"),
+                       F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+                   ).alias("_s")))
+    b_cells = (b.join(F.broadcast(hot), list(key_cols), "left")
+               .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
+               .withColumn("_jcell",
+                           F.pmod(F.xxhash64(F.col(b_id_col), F.lit(7)),
+                                  F.col("_s")))
+               .drop("_s").alias("b"))
+    a_rep = (a.join(F.broadcast(hot), list(key_cols), "left")
+             .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
+             .withColumn("_jcell",
+                         F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+             .drop("_s").alias("a"))
+    return a_rep.join(b_cells, list(key_cols) + ["_jcell"])
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (Broder, "On the resemblance and containment of
 # documents", 1997; banding analysis as in Leskovec/Rajaraman/Ullman,
@@ -144,6 +176,27 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(docs: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int, bands: int, k: int) -> DataFrame:
+    """(id, band, key): one row per (doc, band) with the band's
+    concatenated signature slice as the bucket key."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 8,
                            bands: int = 4, k: int = 3,
@@ -156,20 +209,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     signature — 100k docs in one bucket = 10^10 pairs in one task without
     the guard) is salt-split into bounded cells.  Results are invariant to
     the cap (the trailing ``distinct`` already dedups across bands)."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}")
-                               for r in range(rows_per_band)]).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _band_buckets(docs, id_col, text_col, num_hashes, bands, k)
     return (
         salted_self_join(buckets, ["band", "key"], id_col,
                          bucket_cap, max_salts)
@@ -221,6 +261,76 @@ def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
             order_col="_cdo", scratch_dir=scratch_dir).drop("_cdo")
     losers = verified.select(F.col("b_id").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot) dedup: a recrawl batch against the existing
+# corpus.  The defining scale property: the candidate join is strictly
+# NEW × CORPUS — the corpus is never self-joined (it was deduped when it
+# was ingested), so each snapshot pays O(|new| + matched corpus buckets),
+# not O(|corpus|²).  Exact: one anti-join on the text digest (the corpus
+# side is projected to digests before the exchange).  Near-dup: band
+# buckets for both sides, new×corpus bucket join (two-sided salt guard),
+# Jaccard verify over the candidate-doc subset only.
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(new: DataFrame, corpus: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Rows of `new` whose exact text does not already exist in `corpus`
+    (plus first-wins dedup WITHIN the batch — a batch can carry its own
+    repeats)."""
+    seen = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    deduped = exact_dedup(new, id_col, text_col)
+    return (deduped.withColumn("_h", F.md5(F.col(text_col)))
+            .join(seen, "_h", "left_anti")
+            .drop("_h"))
+
+
+def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 8, bands: int = 4,
+                              k: int = 3,
+                              jaccard_threshold: float = 0.8,
+                              max_df: int | None = None,
+                              bucket_cap: int = 1024,
+                              max_salts: int = 64) -> DataFrame:
+    """Rows of `new` that near-dup NO document in `corpus` (LSH
+    candidates → Jaccard verify, new×corpus only).  Within-batch
+    near-dups are the caller's separate `minhash_dedup` pass — keeping
+    the two concerns split means the corpus side of this join never
+    grows candidate pairs of its own.
+
+    Verification mirrors `minhash_dedup`: jaccard is computed over the
+    union of candidate docs from both sides (shared shingle DF cap), then
+    restricted to the new×corpus candidate pairs."""
+    nb = _band_buckets(new, id_col, text_col, num_hashes, bands, k)
+    cb = _band_buckets(corpus, id_col, text_col, num_hashes, bands, k)
+    cand = (salted_two_sided_join(nb, cb, ["band", "key"], id_col,
+                                  bucket_cap, max_salts)
+            .select(F.col(f"a.{id_col}").alias("new_id"),
+                    F.col(f"b.{id_col}").alias("old_id"))
+            .distinct())
+    cand_new = new.join(cand.select(F.col("new_id").alias(id_col)),
+                        id_col, "left_semi")
+    cand_old = corpus.join(cand.select(F.col("old_id").alias(id_col)),
+                           id_col, "left_semi")
+    cdocs = cand_new.select(id_col, text_col).unionByName(
+        cand_old.select(id_col, text_col))
+    # normalize candidate pairs to the verify join's a_id < b_id frame
+    norm = cand.select(
+        F.least("new_id", "old_id").alias("a_id"),
+        F.greatest("new_id", "old_id").alias("b_id")).distinct()
+    verified = ngram_jaccard_pairs(cdocs, id_col, text_col, k,
+                                   jaccard_threshold, max_df=max_df) \
+        .join(norm, ["a_id", "b_id"], "left_semi")
+    losers = (verified.select(F.col("a_id").alias(id_col))
+              .unionByName(verified.select(F.col("b_id").alias(id_col)))
+              .join(new.select(id_col), id_col, "left_semi")
+              .distinct())
+    return new.join(losers, id_col, "left_anti")
 
 
 def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",

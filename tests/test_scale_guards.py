@@ -515,3 +515,61 @@ def test_minhash_dedup_transitive_mode(spark):
         docs, transitive=True, **kw).collect())
     assert pairwise == [1]
     assert transitive == [3]
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot) dedup: new batch vs existing corpus (q62)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_exact_dedup(spark):
+    """Batch repeats collapse first-wins; anything already in the corpus
+    dies; fresh text survives."""
+    corpus = spark.createDataFrame(
+        [(1, "seen before text")], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, "seen before text"),     # corpus dup → dropped
+         (11, "fresh new content"),    # survives
+         (12, "fresh new content"),    # within-batch dup of 11 → dropped
+         (13, "another fresh one")],
+        "doc_id int, text string")
+    kept = sorted(r["doc_id"] for r in dd.incremental_exact_dedup(
+        new, corpus).collect())
+    assert kept == [11, 13]
+
+
+def test_incremental_minhash_only_corpus_matches_drop(spark):
+    """A new doc near-dupping another NEW doc is NOT dropped (within-batch
+    dedup is a separate pass); near-dupping a CORPUS doc is."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, base + " bank"),                  # near-dups corpus → drop
+         (11, "completely unrelated prose about sailing ships at sea"),
+         (12, "completely unrelated prose about sailing ships at port")],
+        "doc_id int, text string")              # 11~12 within batch: kept
+    kept = sorted(r["doc_id"] for r in dd.incremental_minhash_dedup(
+        new, corpus, num_hashes=4, bands=2, k=2,
+        jaccard_threshold=0.5).collect())
+    assert kept == [11, 12]
+
+
+def test_two_sided_salt_guard_cap_invariant(spark):
+    """incremental_minhash_dedup results are identical with and without
+    the hot-bucket split engaged (bucket_cap far below the corpus bucket
+    size vs far above)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, base + f" v{i % 3}") for i in range(40)],
+        "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(100, base + " v1 extra"), (101, "totally different words here "
+                                          "about nothing in common")],
+        "doc_id int, text string")
+    kw = dict(num_hashes=4, bands=2, k=2, jaccard_threshold=0.5)
+    uncapped = sorted(r["doc_id"] for r in dd.incremental_minhash_dedup(
+        new, corpus, bucket_cap=10_000, **kw).collect())
+    capped = sorted(r["doc_id"] for r in dd.incremental_minhash_dedup(
+        new, corpus, bucket_cap=4, max_salts=8, **kw).collect())
+    assert uncapped == capped == [101]
