@@ -195,3 +195,30 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
         (reason == F.lit("kept")).alias("keep"),
         reason.alias("reason"),
     )
+
+
+def quality_percentile_cut(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           stratum_col: str = "lang",
+                           q: float = 0.1) -> DataFrame:
+    """Per-stratum dynamic quality thresholding (the CCNet move: calibrate
+    the cut per language instead of one global constant — a fixed 0.45
+    that is right for English over-kills a stratum whose scores run low).
+    Keeps documents whose composite quality is >= the stratum's q-th
+    percentile (percentile_disc over (quality, id) order, so ties at the
+    cut survive).  Returns (id, stratum, quality).
+
+    Plan: one fused scoring projection, one exchange for the per-stratum
+    quantile, then a BROADCAST join of the cut table (one row per
+    stratum) back onto the scored frame — the corpus is never shuffled a
+    second time."""
+    from . import textstats as ts
+    from . import quantiles as qt
+
+    scored = docs.select(F.col(id_col), F.col(stratum_col),
+                         ts.quality_col(text_col).alias("quality"))
+    cut = (qt.exact_quantiles(scored, stratum_col, "quality", [q], id_col)
+           .select(F.col(stratum_col), F.col("value").alias("_cut")))
+    return (scored.join(F.broadcast(cut), stratum_col)
+            .filter(F.col("quality") >= F.col("_cut"))
+            .select(id_col, stratum_col, "quality"))

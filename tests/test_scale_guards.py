@@ -573,3 +573,22 @@ def test_two_sided_salt_guard_cap_invariant(spark):
     capped = sorted(r["doc_id"] for r in dd.incremental_minhash_dedup(
         new, corpus, bucket_cap=4, max_salts=8, **kw).collect())
     assert uncapped == capped == [101]
+
+
+def test_quality_percentile_cut_per_stratum(spark):
+    """The decile cut is calibrated PER stratum: en docs ramp quality by
+    word count, de docs all score identically (ties at the cut survive) —
+    a global threshold would kill one stratum entirely."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu2
+    rows = [(i, "en", "word " * (i + 1)) for i in range(20)]  # ramp
+    rows += [(100 + i, "de", "gleich " * 5) for i in range(10)]  # all equal
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    kept = cu2.quality_percentile_cut(docs, q=0.1)
+    by_lang = {"en": [], "de": []}
+    for r in kept.collect():
+        by_lang[r["lang"]].append(r["doc_id"])
+    # en: 20 distinct ascending scores; IEEE 0.1*20 rounds to exactly 2.0
+    # -> cut at rank 2 -> rank 1 dropped (percentile_disc keeps the cut)
+    assert sorted(by_lang["en"]) == list(range(1, 20))
+    # de: every doc ties at the cut value -> all survive
+    assert len(by_lang["de"]) == 10
