@@ -592,3 +592,16 @@ def test_quality_percentile_cut_per_stratum(spark):
     assert sorted(by_lang["en"]) == list(range(1, 20))
     # de: every doc ties at the cut value -> all survive
     assert len(by_lang["de"]) == 10
+
+
+def test_quality_percentile_cut_broadcasts_cut_table(spark):
+    """The per-stratum cut table (one row per lang) must come back as a
+    broadcast join — re-shuffling the scored corpus on lang to meet a
+    10-row table would be a full second exchange of the corpus."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu2
+    docs = spark.createDataFrame(
+        [(i, "en", "word " * (i + 1)) for i in range(30)],
+        "doc_id int, lang string, text string")
+    plan = cu2.quality_percentile_cut(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
