@@ -117,3 +117,36 @@ def stratified_sample(docs: DataFrame, rates: dict,
                            F.lit(int(rate * _MIX_BUCKETS))) \
             .otherwise(threshold)
     return docs.filter(bucket < threshold)
+
+
+def stratified_exact_k(docs: DataFrame, k: int,
+                       stratum_col: str = "lang",
+                       id_col: str = "doc_id",
+                       salt_partitions: int = 32) -> DataFrame:
+    """Exactly min(k, |stratum|) documents per stratum, chosen by
+    md5(id) hash order — a deterministic uniform draw (held-out eval-set
+    carving, per-stratum spot-check samples) reproducible across engines
+    and runs, unlike rate-based `stratified_sample` which cannot promise
+    an exact count.
+
+    Two-phase min-k (the KMV shape, `sketches.kmv_distinct`): each
+    (stratum, salt cell) keeps only its k smallest (hash, id) structs —
+    aggregation state is O(k) per cell — then cells merge and the global
+    k smallest survive.  A window row_number would instead SORT the whole
+    stratum (one task chain per stratum at corpus scale).  Returns
+    (stratum, id)."""
+    from .sketches import _hash60
+
+    hashed = docs.select(
+        F.col(stratum_col), F.col(id_col),
+        _hash60(F.col(id_col)).alias("_h"))
+    salt = F.pmod(F.col("_h"), F.lit(salt_partitions)).alias("_salt")
+    partial = hashed.groupBy(stratum_col, salt).agg(
+        F.slice(F.sort_array(F.collect_list(
+            F.struct(F.col("_h"), F.col(id_col)))), 1, k).alias("_cell"))
+    merged = partial.groupBy(stratum_col).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_cell"))), 1, k)
+        .alias("_top"))
+    return (merged.select(F.col(stratum_col),
+                          F.explode("_top").alias("_s"))
+            .select(stratum_col, F.col(f"_s.{id_col}").alias(id_col)))

@@ -130,3 +130,40 @@ def test_stratified_sample_is_shuffle_free(spark):
     plan = mx.stratified_sample(docs, {"en": 0.5})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_stratified_exact_k_counts_and_members(spark):
+    """Exactly min(k, |stratum|) rows per stratum, and the member set
+    equals the naive full-sort formulation (two-phase min-k is lossless:
+    any global top-k element is top-k within its salt cell)."""
+    from pyspark.sql import Window
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small")
+                                               for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+    got = mx.stratified_exact_k(docs, k=10, salt_partitions=8)
+    by = {}
+    for r in got.collect():
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 10 and len(by["small"]) == 4
+    from pdf_ocr_batch_ndrocr_lite_spark.operators.sketches import _hash60
+    w = Window.partitionBy("lang").orderBy(_hash60(F.col("doc_id")),
+                                           "doc_id")
+    naive = docs.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") <= 10)
+    want = {}
+    for r in naive.collect():
+        want.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by == want
+
+
+def test_stratified_exact_k_plan_is_two_phase_no_window(spark):
+    """The sampler must be the bounded-state aggregation shape: salted
+    partial + merge, no stratum-wide Window sort."""
+    docs = spark.createDataFrame([(i, "g") for i in range(50)],
+                                 "doc_id int, lang string")
+    plan = mx.stratified_exact_k(docs, k=5)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert "pmod" in plan
+    assert plan.count("Aggregate") >= 2
