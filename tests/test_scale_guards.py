@@ -605,3 +605,66 @@ def test_quality_percentile_cut_broadcasts_cut_table(spark):
     plan = cu2.quality_percentile_cut(docs)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_matches_python_reference_randomized(spark):
+    """Differential test: 150 seeded random docs with lines drawn from a
+    small pool (forcing heavy cross-doc duplication) — the Spark result
+    must equal a direct pure-Python evaluation of the first-wins rule."""
+    import random
+    rng = random.Random(2024)
+    pool = [f"line body number {i} with payload" for i in range(30)] \
+        + ["--", "", "x"]  # short/exempt candidates
+    rows = [(d, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 8))))
+            for d in range(150)]
+
+    min_chars = 5
+    seen = set()
+    expect = {}
+    for d, text in rows:
+        kept_lines, dropped = [], 0
+        for line in text.split("\n"):
+            if len(line) < min_chars:
+                kept_lines.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept_lines.append(line)
+            else:
+                dropped += 1
+        expect[d] = ("\n".join(kept_lines), len(kept_lines), dropped)
+
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["text"], r["kept_lines"], r["dropped_lines"])
+           for r in dd.line_dedup(docs, min_chars=min_chars).collect()}
+    assert got == expect
+
+
+def test_remove_boilerplate_matches_python_reference_randomized(spark):
+    """Same differential harness for the df > max_doc_freq rule."""
+    import collections
+    import random
+    rng = random.Random(7)
+    pool = [f"boiler candidate {i} text" for i in range(12)] + ["--"]
+    rows = [(d, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 6))))
+            for d in range(80)]
+
+    min_chars, max_df = 5, 10
+    df_count = collections.Counter()
+    for d, text in rows:
+        for line in set(text.split("\n")):
+            if len(line) >= min_chars:
+                df_count[line] += 1
+    hot = {ln for ln, c in df_count.items() if c > max_df}
+    expect = {}
+    for d, text in rows:
+        kept = [ln for ln in text.split("\n") if ln not in hot]
+        expect[d] = ("\n".join(kept), len(kept),
+                     len(text.split("\n")) - len(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["text"], r["kept_lines"], r["dropped_lines"])
+           for r in dd.remove_boilerplate_lines(
+               docs, max_doc_freq=max_df, min_chars=min_chars).collect()}
+    assert got == expect
