@@ -73,6 +73,10 @@ def parse_args(argv):
                    help="near-dup survivor rule: cluster verified pairs "
                         "via connected components and keep the longest "
                         "per cluster (default: pairwise lower-id-wins)")
+    p.add_argument("--boilerplate-max-df", type=int, default=None,
+                   help="enable the line-level pre-pass: strip lines "
+                        "present in more than this many documents "
+                        "before doc-level curation (curate mode)")
     return p.parse_args(argv)
 
 
@@ -123,7 +127,8 @@ def main(argv=None) -> int:
                                     default_rate=args.default_rate,
                                     min_quality=args.min_quality,
                                     require_lang=not args.keep_unknown_lang,
-                                    transitive_dedup=args.transitive_dedup)
+                                    transitive_dedup=args.transitive_dedup,
+                                    boilerplate_max_df=args.boilerplate_max_df)
         if args.iceberg:
             kept.writeTo(args.output).createOrReplace()
         else:

@@ -38,6 +38,8 @@ def run_curation(docs: DataFrame,
                  id_col: str = "doc_id",
                  text_col: str = "text",
                  stratum_col: str = "lang",
+                 boilerplate_max_df: Optional[int] = None,
+                 boilerplate_min_chars: int = 10,
                  min_quality: float = 0.45,
                  max_top_gram_frac: float = 0.10,
                  require_lang: bool = True,
@@ -51,8 +53,29 @@ def run_curation(docs: DataFrame,
                  default_rate: float = 1.0):
     """Returns (kept DataFrame, counts dict).  `counts` triggers one
     lightweight count() per enabled stage boundary — acceptable lineage
-    cost (each is a column-pruned scan of the stage output)."""
+    cost (each is a column-pruned scan of the stage output).
+
+    ``boilerplate_max_df`` enables the CCNet-style LINE-level pre-pass:
+    lines present in more than that many documents are stripped from
+    EVERY document before any doc-level signal is computed — chrome that
+    would otherwise pollute the quality/repetition scores and the
+    near-dup shingles (two boilerplate-heavy pages look like near-dups
+    of each other even when their prose differs)."""
     counts = {"input": docs.count()}
+
+    if boilerplate_max_df is not None:
+        from ..operators import dedup as dd_lines
+        rewritten = dd_lines.remove_boilerplate_lines(
+            docs, id_col=id_col, text_col=text_col,
+            max_doc_freq=boilerplate_max_df,
+            min_chars=boilerplate_min_chars)
+        other_cols = [c for c in docs.columns
+                      if c not in (id_col, text_col)]
+        docs = rewritten.select(
+            id_col, F.col("text").alias(text_col)).join(
+            docs.select(id_col, *other_cols), id_col)
+        counts["boiler_lines_dropped"] = int(
+            rewritten.agg(F.sum("dropped_lines")).collect()[0][0] or 0)
 
     verdict = cu.curation_verdict(
         docs, id_col=id_col, text_col=text_col,

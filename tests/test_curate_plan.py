@@ -73,3 +73,21 @@ def test_curate_cli_smoke(tmp_path):
     counts = json.loads(line)
     assert counts["input"] == 300
     assert 0 < counts["kept"] <= counts["after_verdict"] <= 300
+
+
+def test_run_curation_boilerplate_prepass(spark):
+    """The line-level pre-pass strips corpus-wide chrome BEFORE doc-level
+    signals: the shared navigation line appears in 4 docs (> max_df 2) and
+    must be gone from every survivor's text; stage counts record the
+    volume removed."""
+    nav = "shared navigation chrome line"
+    good = ("the quick brown fox jumps over the lazy dog and runs for "
+            "the hills where the other animals live in the open")
+    rows = [(i, "en", nav + "\n" + good + f" variant {i}") for i in range(4)]
+    rows.append((9, "en", good + " standalone"))
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    kept, counts = run_curation(docs, boilerplate_max_df=2,
+                                near_dup=False)
+    assert counts["boiler_lines_dropped"] == 4
+    for r in kept.collect():
+        assert nav not in r["text"]
