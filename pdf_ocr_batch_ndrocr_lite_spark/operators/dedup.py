@@ -717,6 +717,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # shape of Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
 # Search", TPAMI 2011.  Vector math via
 # F.aggregate/zip_with — JVM-side, no Python.
+#
+# Kernel choice, deliberately: the left-fold aggregate gives a FIXED IEEE
+# summation order, so cosine values are bit-identical to the SQL oracle
+# and threshold comparisons cannot flip on borderline pairs.  A
+# numpy/BLAS matmul inside applyInPandas per bucket would beat the HOF
+# per-pair cost several-fold at production dims, but BLAS reduction order
+# is unspecified — swap it in only with a tolerance-based verifier, not
+# an exact-hash gate.  The JOIN SHAPE (bucketed, salt-split) is the scale
+# decision and is kernel-independent.
 # ---------------------------------------------------------------------------
 
 
