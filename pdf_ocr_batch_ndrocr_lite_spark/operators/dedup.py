@@ -305,7 +305,15 @@ def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
 
     Verification mirrors `minhash_dedup`: jaccard is computed over the
     union of candidate docs from both sides (shared shingle DF cap), then
-    restricted to the new×corpus candidate pairs."""
+    restricted to the new×corpus candidate pairs.
+
+    The id spaces of `new` and `corpus` need NOT be disjoint: candidate
+    docs are side-tagged (``C:<id>`` / ``N:<id>``) before the verify
+    join, so a recrawled doc that reuses an existing corpus id still
+    forms a (corpus, new) pair — without the tag it would normalize to
+    a_id == b_id, which the a < b orientation never emits, and the true
+    duplicate would silently survive (and its two texts' shingle sets
+    would merge, corrupting the DF cap)."""
     nb = _band_buckets(new, id_col, text_col, num_hashes, bands, k)
     cb = _band_buckets(corpus, id_col, text_col, num_hashes, bands, k)
     cand = (salted_two_sided_join(nb, cb, ["band", "key"], id_col,
@@ -317,20 +325,25 @@ def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
                         id_col, "left_semi")
     cand_old = corpus.join(cand.select(F.col("old_id").alias(id_col)),
                            id_col, "left_semi")
-    cdocs = cand_new.select(id_col, text_col).unionByName(
-        cand_old.select(id_col, text_col))
-    # normalize candidate pairs to the verify join's a_id < b_id frame
+    # side-tagged verify ids: "C:" < "N:" lexically, so every new×corpus
+    # pair lands in the a < b orientation with a = corpus, b = new
+    cdocs = cand_new.select(
+        F.concat(F.lit("N:"), F.col(id_col).cast("string")).alias("_sid"),
+        F.col(text_col)).unionByName(cand_old.select(
+            F.concat(F.lit("C:"), F.col(id_col).cast("string"))
+            .alias("_sid"), F.col(text_col)))
     norm = cand.select(
-        F.least("new_id", "old_id").alias("a_id"),
-        F.greatest("new_id", "old_id").alias("b_id")).distinct()
-    verified = ngram_jaccard_pairs(cdocs, id_col, text_col, k,
+        F.concat(F.lit("C:"), F.col("old_id").cast("string")).alias("a_id"),
+        F.concat(F.lit("N:"), F.col("new_id").cast("string")).alias("b_id"),
+    ).distinct()
+    verified = ngram_jaccard_pairs(cdocs, "_sid", text_col, k,
                                    jaccard_threshold, max_df=max_df) \
         .join(norm, ["a_id", "b_id"], "left_semi")
-    losers = (verified.select(F.col("a_id").alias(id_col))
-              .unionByName(verified.select(F.col("b_id").alias(id_col)))
-              .join(new.select(id_col), id_col, "left_semi")
-              .distinct())
-    return new.join(losers, id_col, "left_anti")
+    losers = verified.select(
+        F.expr("substring(b_id, 3)").alias("_lid")).distinct()
+    keyed = new.withColumn("_kid", F.col(id_col).cast("string"))
+    return (keyed.join(losers, keyed["_kid"] == losers["_lid"],
+                       "left_anti").drop("_kid"))
 
 
 def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
@@ -399,15 +412,33 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
 
     `scratch_dir`: durable scratch path for the per-round iteration
     barrier (see module comment).  Default: a driver-local temp dir —
-    correct for local mode; on a real cluster pass shared storage
-    (HDFS/S3).  Intermediate rounds are deleted as the loop advances;
-    the FINAL labels stay on disk because the returned DataFrame reads
-    them lazily."""
-    import shutil
+    correct ONLY for local mode, so a non-local master with no
+    `scratch_dir` raises up front (executors cannot read the driver's
+    filesystem; the failure would otherwise surface as missing-file
+    errors mid-loop).  Intermediate rounds are deleted as the loop
+    advances through the Hadoop FileSystem API (so HDFS/S3A scratch is
+    actually reclaimed — shutil would silently no-op there).  The FINAL
+    labels parquet stays on disk because the returned DataFrame reads it
+    lazily: the caller owns the scratch_dir lifecycle and may delete it
+    once done with the result (or after persisting it elsewhere)."""
     import tempfile
 
     spark = pairs.sparkSession
+    master = spark.sparkContext.master or ""
+    if scratch_dir is None and not master.startswith("local"):
+        raise ValueError(
+            "connected_components: the default scratch dir is driver-local "
+            f"and unreadable by executors under master={master!r} — pass "
+            "scratch_dir=<shared storage path (HDFS/S3)>")
     root = scratch_dir or tempfile.mkdtemp(prefix="spark_graft_cc_")
+
+    def _fs_delete(path: str) -> None:
+        # Hadoop FileSystem delete: correct for local paths AND shared
+        # scratch (hdfs://, s3a://), where shutil.rmtree silently no-ops
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
 
     def _barrier(df: DataFrame, name: str) -> DataFrame:
         df.write.mode("overwrite").parquet(f"{root}/{name}")
@@ -443,9 +474,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         changed = upd.filter(F.col("_new") < F.col("label")).count()
         labels = upd.select("id", F.col("_new").alias("label"))
         if rnd > 0:
-            shutil.rmtree(f"{root}/labels_{rnd - 1}", ignore_errors=True)
+            _fs_delete(f"{root}/labels_{rnd - 1}")
         if changed == 0:
-            shutil.rmtree(f"{root}/edges", ignore_errors=True)
+            _fs_delete(f"{root}/edges")
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
@@ -560,19 +591,30 @@ def line_doc_frequency(docs: DataFrame, id_col: str = "doc_id",
 def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
                              max_doc_freq: int = 3, min_chars: int = 1,
-                             sep: str = "\n") -> DataFrame:
+                             sep: str = "\n",
+                             force_broadcast: bool = False) -> DataFrame:
     """Drop ALL occurrences of eligible lines present in more than
     `max_doc_freq` distinct documents (nav menus, cookie banners, footer
     chrome — the lines `line_dedup` would keep once but a training corpus
     wants gone entirely).  Returns (id, text, kept_lines, dropped_lines).
 
-    The hot-line set is tiny by construction (df > max_doc_freq), so it
-    broadcasts; the corpus side never shuffles until the per-doc rebuild."""
+    Join strategy: the hot-line set is df > max_doc_freq — with a low
+    threshold on a web corpus that is a large fraction of ALL repeated
+    lines (dates, "Home", cookie banners), easily billions of strings at
+    crawl scale, so it is NOT unconditionally broadcast.  The default
+    leaves the strategy to the optimizer: with AQE on, the join becomes a
+    broadcast join exactly when the hot set's runtime size is small, and
+    degrades to a shuffle join (the only correct plan for an unbounded
+    set) otherwise.  ``force_broadcast=True`` re-adds the hint for
+    callers that KNOW the set is bounded (high threshold, profiled
+    corpus); results are identical either way."""
     hot = line_doc_frequency(docs, id_col, text_col, min_chars,
                              max_doc_freq + 1, sep).select("line")
+    hot = hot.withColumn("_hot", F.lit(True))
+    if force_broadcast:
+        hot = F.broadcast(hot)
     lines = _doc_lines(docs, id_col, text_col, sep)
-    flagged = (lines.join(F.broadcast(hot.withColumn("_hot", F.lit(True))),
-                          "line", "left")
+    flagged = (lines.join(hot, "line", "left")
                .withColumn("_keep", F.col("_hot").isNull())
                .select(id_col, "pos", "line", "_keep"))
     return _rebuild_docs(flagged, id_col, sep)

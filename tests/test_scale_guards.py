@@ -424,11 +424,44 @@ def test_remove_boilerplate_drops_all_occurrences(spark):
     # within-doc repetition does not inflate df: doc 2 untouched (df=1)
     assert out[2]["text"] == "--\n--\nrepeated inner line\nrepeated inner line"
     assert (out[2]["kept_lines"], out[2]["dropped_lines"]) == (4, 0)
-    # the hot-line set joins via broadcast (tiny by construction)
-    plan = dd.remove_boilerplate_lines(
-        _line_corpus(spark), max_doc_freq=2, min_chars=5)._jdf \
+
+
+def test_remove_boilerplate_broadcast_is_opt_in(spark):
+    """The hot-line set is UNBOUNDED at crawl scale (every line with
+    df > max_doc_freq — billions of strings on a web corpus with the
+    default threshold), so the operator must not force a broadcast: the
+    default plan carries no broadcast hint (AQE picks broadcast at
+    runtime only when the set is actually small); force_broadcast=True
+    re-adds the hint; results are identical either way."""
+    df = _line_corpus(spark)
+    default_plan = dd.remove_boilerplate_lines(
+        df, max_doc_freq=2, min_chars=5)._jdf \
+        .queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in default_plan
+    assert "ResolvedHint" not in default_plan
+    forced_plan = dd.remove_boilerplate_lines(
+        df, max_doc_freq=2, min_chars=5, force_broadcast=True)._jdf \
         .queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in forced_plan
+    a = sorted(map(tuple, dd.remove_boilerplate_lines(
+        df, max_doc_freq=2, min_chars=5).collect()))
+    b = sorted(map(tuple, dd.remove_boilerplate_lines(
+        df, max_doc_freq=2, min_chars=5, force_broadcast=True).collect()))
+    assert a == b
+
+
+def test_remove_boilerplate_high_df_corpus_no_forced_broadcast(spark):
+    """A synthetic high-df corpus (every line hot) through the DEFAULT
+    path: correctness holds with no forced broadcast of the hot frame."""
+    rows = [(i, "shared hot line number %d\nshared hot line number %d"
+             % (i % 5, (i + 1) % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dd.remove_boilerplate_lines(df, max_doc_freq=3, min_chars=5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in plan
+    got = out.agg(F.sum("kept_lines"), F.sum("dropped_lines")).collect()[0]
+    # every line has df = 16 > 3: all 80 occurrences dropped
+    assert (got[0], got[1]) == (0, 80)
 
 
 def test_line_doc_frequency_distinct_docs(spark):
@@ -573,6 +606,43 @@ def test_two_sided_salt_guard_cap_invariant(spark):
     capped = sorted(r["doc_id"] for r in dd.incremental_minhash_dedup(
         new, corpus, bucket_cap=4, max_salts=8, **kw).collect())
     assert uncapped == capped == [101]
+
+
+def test_incremental_minhash_recrawl_id_collision(spark):
+    """A recrawled doc that REUSES its corpus doc_id must still be caught:
+    without side-tagging, the pair normalizes to a_id == b_id, which the
+    a < b verify orientation never emits — the true duplicate would
+    silently survive (and the two texts' shingle sets would merge under
+    one id, corrupting the DF cap)."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    corpus = spark.createDataFrame(
+        [(7, base)], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(7, base + " again"),   # same id, near-dup text → must drop
+         (8, "entirely different content about mountain weather today")],
+        "doc_id int, text string")
+    kept = sorted(r["doc_id"] for r in dd.incremental_minhash_dedup(
+        new, corpus, num_hashes=4, bands=2, k=2,
+        jaccard_threshold=0.5).collect())
+    assert kept == [8]
+
+
+def test_connected_components_requires_shared_scratch_on_cluster(spark,
+                                                                 monkeypatch):
+    """The default scratch dir is driver-local: on a non-local master the
+    loop must fail fast with an actionable message, not mid-iteration
+    with missing-file errors on the executors."""
+    import pytest
+    pairs = spark.createDataFrame([(1, 2)], "a_id bigint, b_id bigint")
+    monkeypatch.setattr(spark.sparkContext, "master", "spark://host:7077")
+    with pytest.raises(ValueError, match="scratch_dir"):
+        dd.connected_components(pairs)
+    # an explicit scratch dir passes the guard (shared storage contract)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        got = {r["id"]: r["component"] for r in dd.connected_components(
+            pairs, scratch_dir=td).collect()}
+    assert got == {1: 1, 2: 1}
 
 
 def test_quality_percentile_cut_per_stratum(spark):
