@@ -63,20 +63,43 @@ def benchmark_decontaminate(docs: DataFrame, bench: DataFrame,
 # PARTITIONED (by the shard key) — packing is per-shard in every real
 # dataloader, which is exactly what keeps the cumulative sum parallel: one
 # exchange on the shard key, never a global single-partition sort.
+#
+# PARALLELISM CONTRACT: the window gives one task chain per distinct shard
+# value, so parallelism == shard-key cardinality.  A coarse key like a bare
+# language column would sort half the corpus in ONE task at 100 TB; the
+# default therefore composites the caller's shard_col with an md5(id)
+# bucket (engine-portable hash, same trick as stratified_sample), giving
+# shard_col-cardinality × shard_buckets window partitions.  Pass
+# shard_buckets=None only when shard_col is already file/shard-grained
+# (thousands of values).
 # ---------------------------------------------------------------------------
 
 
 def pack_sequences(docs: DataFrame, capacity: int,
                    shard_col: str = "lang", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   shard_buckets: int | None = 64) -> DataFrame:
     """(id, shard, n_tokens, bin_id, bin_offset): each document starts at
     the running-token offset of its shard's concat stream; ``bin_id`` is
     the training sequence its FIRST token lands in (greedy
     concat-then-chunk — documents may straddle bins, like a pretraining
-    packer that splits documents across context windows)."""
+    packer that splits documents across context windows).
+
+    ``shard_buckets`` (default 64) composites the shard key to
+    ``<shard_col>#<md5(id) % shard_buckets>`` — see the parallelism
+    contract in the module comment; ``None`` uses `shard_col` alone."""
     tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                              lambda w: w != "")).cast("bigint")
-    toked = docs.select(F.col(id_col), F.col(shard_col).alias("shard"),
+    if shard_buckets is None:
+        shard = F.col(shard_col).cast("string")
+    else:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                   16, 10).cast("bigint"),
+            F.lit(shard_buckets))
+        shard = F.concat(F.col(shard_col).cast("string"), F.lit("#"),
+                         bucket.cast("string"))
+    toked = docs.select(F.col(id_col), shard.alias("shard"),
                         tokens.alias("n_tokens"))
     cum_before = F.coalesce(
         F.sum("n_tokens").over(
@@ -122,26 +145,66 @@ def stratified_sample(docs: DataFrame, rates: dict,
 def stratified_exact_k(docs: DataFrame, k: int,
                        stratum_col: str = "lang",
                        id_col: str = "doc_id",
-                       salt_partitions: int = 32) -> DataFrame:
+                       salt_partitions: int = 32,
+                       candidate_factor: int = 8) -> DataFrame:
     """Exactly min(k, |stratum|) documents per stratum, chosen by
     md5(id) hash order — a deterministic uniform draw (held-out eval-set
     carving, per-stratum spot-check samples) reproducible across engines
     and runs, unlike rate-based `stratified_sample` which cannot promise
-    an exact count.
+    an exact count.  Returns (stratum, id).
 
-    Two-phase min-k (the KMV shape, `sketches.kmv_distinct`): each
-    (stratum, salt cell) keeps only its k smallest (hash, id) structs —
-    aggregation state is O(k) per cell — then cells merge and the global
-    k smallest survive.  A window row_number would instead SORT the whole
-    stratum (one task chain per stratum at corpus scale).  Returns
-    (stratum, id)."""
-    from .sketches import _hash60
+    Aggregation state is BOUNDED by a candidate prefilter, not by
+    stratum size: `collect_list` buffers a whole cell before the
+    sort+slice, so feeding it raw (stratum, salt) cells would hold
+    O(|stratum| / salt_partitions) structs in one aggregation state — a
+    1B-doc stratum ≈ 30M structs per task at the default salt.  Instead:
 
+    1. per-stratum row counts n (combining agg, broadcast back);
+    2. keep rows with hash below T = (candidate_factor·k + 64) / n of
+       the hash space — the k-th order statistic of n uniform hashes
+       falls below T except with exp(-Θ(candidate_factor·k))
+       probability, so the expected candidate set is O(candidate_factor
+       · k) per stratum, independent of |stratum|;
+    3. exactness guard (NOT probabilistic): strata whose surviving
+       candidate count fell below min(k, n) — possible only in that
+       vanishing tail — are re-included wholesale, so the result is
+       always exactly the global min(k, n) smallest hashes;
+    4. the surviving candidates run the original two-phase salted min-k
+       (the KMV shape, `sketches.kmv_distinct`), never a stratum-wide
+       window sort.
+
+    Cost: three scans of the (stratum, id) projection — column-pruned
+    reads of two narrow columns — in exchange for per-task state that no
+    longer scales with the largest stratum."""
+    from .sketches import _HASH_SPACE, _hash60
+
+    m = candidate_factor * k + 64
     hashed = docs.select(
         F.col(stratum_col), F.col(id_col),
         _hash60(F.col(id_col)).alias("_h"))
+    thr = (hashed.groupBy(stratum_col)
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .select(
+               stratum_col, "_n",
+               F.when(F.col("_n") <= F.lit(m),
+                      F.lit(int(_HASH_SPACE)).cast("bigint"))
+               .otherwise((F.lit(float(m)) / F.col("_n")
+                           * F.lit(_HASH_SPACE)).cast("bigint"))
+               .alias("_t")))
+    surv = (hashed.join(F.broadcast(thr), stratum_col)
+            .filter(F.col("_h") < F.col("_t"))
+            .groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_sn")))
+    under = (thr.join(surv, stratum_col, "left")
+             .filter(F.coalesce(F.col("_sn"), F.lit(0))
+                     < F.least(F.lit(k).cast("bigint"), F.col("_n")))
+             .select(stratum_col, F.lit(True).alias("_all")))
+    cand = (hashed.join(F.broadcast(thr), stratum_col)
+            .join(F.broadcast(under), stratum_col, "left")
+            .filter((F.col("_h") < F.col("_t"))
+                    | F.col("_all").isNotNull())
+            .select(stratum_col, id_col, "_h"))
     salt = F.pmod(F.col("_h"), F.lit(salt_partitions)).alias("_salt")
-    partial = hashed.groupBy(stratum_col, salt).agg(
+    partial = cand.groupBy(stratum_col, salt).agg(
         F.slice(F.sort_array(F.collect_list(
             F.struct(F.col("_h"), F.col(id_col)))), 1, k).alias("_cell"))
     merged = partial.groupBy(stratum_col).agg(

@@ -76,12 +76,38 @@ def test_pack_sequences_concat_and_chunk(spark):
     ])
     got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["bin_id"],
                          r["bin_offset"])
-           for r in mx.pack_sequences(docs, capacity=512).collect()}
+           for r in mx.pack_sequences(docs, capacity=512,
+                                      shard_buckets=None).collect()}
     assert got[0] == ("en", 300, 0, 0)
     assert got[1] == ("en", 300, 0, 300)
     assert got[2] == ("en", 300, 1, 88)    # 600 % 512
     assert got[3] == ("de", 600, 0, 0)
     assert got[4] == ("de", 10, 1, 88)
+
+
+def test_pack_sequences_default_shard_is_composite(spark):
+    """Parallelism contract: the default shard key composites the caller's
+    column with an md5(id) bucket, so a SINGLE-language corpus still
+    yields many window partitions (one per populated bucket) instead of
+    one corpus-wide sort task; per-bucket packing matches the hand
+    formula within each shard."""
+    docs = _docs(spark, [(i, "en", " ".join(["w"] * 100))
+                         for i in range(400)])
+    out = mx.pack_sequences(docs, capacity=256, shard_buckets=16).collect()
+    shards = {r["shard"] for r in out}
+    assert len(shards) == 16           # 400 ids cover all 16 buckets
+    assert all(s.startswith("en#") for s in shards)
+    # within one shard, docs pack in id order at 100 tokens each
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        prev = by_shard.setdefault(r["shard"], 0)
+        assert (r["bin_id"], r["bin_offset"]) == (prev // 256, prev % 256)
+        by_shard[r["shard"]] = prev + r["n_tokens"]
+    # bucket assignment is the engine-portable md5 rule
+    for r in out:
+        want = int(hashlib.md5(
+            str(r["doc_id"]).encode()).hexdigest()[:15], 16) % 16
+        assert r["shard"] == f"en#{want}"
 
 
 def test_pack_sequences_window_is_partitioned(spark):
@@ -167,3 +193,73 @@ def test_stratified_exact_k_plan_is_two_phase_no_window(spark):
     assert "Window" not in plan
     assert "pmod" in plan
     assert plan.count("Aggregate") >= 2
+
+
+def test_stratified_exact_k_candidate_state_is_bounded(spark):
+    """Scale guard: the collect_list aggregation must never see a whole
+    stratum — one giant stratum's candidate set (the rows passing the
+    hash prefilter) stays O(candidate_factor·k), independent of stratum
+    size, while the member set still matches the naive full-sort answer."""
+    from pyspark.sql import Window
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators.sketches import (
+        _HASH_SPACE,
+        _hash60,
+    )
+
+    n, k, cf = 20_000, 3, 8
+    docs = spark.createDataFrame([(i, "giant") for i in range(n)],
+                                 "doc_id int, lang string")
+    # reproduce the operator's prefilter and bound the candidate count
+    m = cf * k + 64
+    t = int(float(m) / n * _HASH_SPACE)
+    cand_n = docs.select(_hash60(F.col("doc_id")).alias("_h")) \
+        .filter(F.col("_h") < F.lit(t)).count()
+    assert 0 < cand_n < 6 * m          # ~m expected; 6m is a loose bound
+    assert cand_n < n / 50             # nowhere near the stratum size
+    # and the operator's answer is still the exact top-k
+    got = sorted(r["doc_id"] for r in mx.stratified_exact_k(
+        docs, k=k, candidate_factor=cf).collect())
+    w = Window.partitionBy("lang").orderBy(_hash60(F.col("doc_id")),
+                                           "doc_id")
+    want = sorted(r["doc_id"] for r in docs
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).collect())
+    assert got == want
+
+
+def test_stratified_exact_k_under_sample_fallback_exact(spark):
+    """The exactness guard: with candidate_factor=0 and k=100 the
+    prefilter threshold admits only ~64 expected rows of the 3000-row
+    stratum — fewer than k — so the under-sample fallback MUST fire and
+    re-include the stratum wholesale; the result must still be the exact
+    min(k, n) smallest hashes."""
+    from pyspark.sql import Window
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators.sketches import (
+        _HASH_SPACE,
+        _hash60,
+    )
+
+    k = 100
+    rows = [(i, "a") for i in range(3000)] + \
+           [(10_000 + i, "b") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+    # prove the prefilter really under-samples stratum 'a' for this data
+    t = int(64.0 / 3000 * _HASH_SPACE)
+    cand_n = docs.filter(F.col("lang") == "a") \
+        .select(_hash60(F.col("doc_id")).alias("_h")) \
+        .filter(F.col("_h") < F.lit(t)).count()
+    assert cand_n < k
+    got = {}
+    for r in mx.stratified_exact_k(docs, k=k, candidate_factor=0,
+                                   salt_partitions=4).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(got["a"]) == k and len(got["b"]) == 5
+    w = Window.partitionBy("lang").orderBy(_hash60(F.col("doc_id")),
+                                           "doc_id")
+    want = {}
+    for r in docs.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") <= k).collect():
+        want.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert got == want
