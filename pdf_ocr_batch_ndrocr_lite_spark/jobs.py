@@ -77,6 +77,11 @@ def parse_args(argv):
                    help="enable the line-level pre-pass: strip lines "
                         "present in more than this many documents "
                         "before doc-level curation (curate mode)")
+    p.add_argument("--curate-scratch", default=None,
+                   help="stage-barrier scratch path for curate mode "
+                        "(shared storage on a cluster); default: a "
+                        "temp dir under local masters, no barrier "
+                        "otherwise")
     return p.parse_args(argv)
 
 
@@ -123,12 +128,20 @@ def main(argv=None) -> int:
         bench = read_table(args.bench_input) if args.bench_input else None
         rates = json.loads(args.mix_rates) if args.mix_rates else None
         t0 = time.perf_counter()
+        # stage barrier: each cascade stage executes once per job (the
+        # per-stage counts + final write would otherwise re-run the
+        # verdict/LSH lineage up to 4x — see plans.curate module comment)
+        scratch = args.curate_scratch
+        if scratch is None and spark.sparkContext.master.startswith("local"):
+            import tempfile
+            scratch = tempfile.mkdtemp(prefix="spark_graft_curate_")
         kept, counts = run_curation(docs, bench=bench, mix_rates=rates,
                                     default_rate=args.default_rate,
                                     min_quality=args.min_quality,
                                     require_lang=not args.keep_unknown_lang,
                                     transitive_dedup=args.transitive_dedup,
-                                    boilerplate_max_df=args.boilerplate_max_df)
+                                    boilerplate_max_df=args.boilerplate_max_df,
+                                    scratch_dir=scratch)
         if args.iceberg:
             kept.writeTo(args.output).createOrReplace()
         else:

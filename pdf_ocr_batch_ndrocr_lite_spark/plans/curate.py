@@ -20,6 +20,18 @@ corpus scale the pass is: one scan → fused projection → dedup window
 exchange → LSH exchanges over digests → broadcast semi-join → map-side
 sample — document text is never shuffled after the verdict stage
 restricts to survivors.
+
+EXECUTE-ONCE CONTRACT (`scratch_dir`): each enabled stage's per-stage
+count is an action, and the final write is another — without a barrier,
+stage N's count re-executes stages 1..N and the write re-executes the
+whole cascade again, so the verdict projection and the LSH candidate
+stages run up to 4× per job.  Passing `scratch_dir` materializes every
+stage boundary through the same parquet round-trip barrier
+`connected_components` uses for its iteration loop: each stage's lineage
+executes exactly once, the stage counts read the materialized output, and
+the final frame is a plain parquet scan.  Pass shared storage (HDFS/S3)
+on a real cluster — the default None keeps the zero-copy lazy plan for
+callers that run one action and never look at counts-heavy lineage.
 """
 
 from __future__ import annotations
@@ -50,30 +62,51 @@ def run_curation(docs: DataFrame,
                  bench: Optional[DataFrame] = None,
                  min_overlap: int = 2,
                  mix_rates: Optional[dict] = None,
-                 default_rate: float = 1.0):
-    """Returns (kept DataFrame, counts dict).  `counts` triggers one
-    lightweight count() per enabled stage boundary — acceptable lineage
-    cost (each is a column-pruned scan of the stage output).
+                 default_rate: float = 1.0,
+                 scratch_dir: Optional[str] = None):
+    """Returns (kept DataFrame, counts dict).
+
+    With ``scratch_dir`` set (see module comment) every stage executes
+    exactly once and the per-stage counts are metadata-cheap parquet
+    counts; without it each stage-boundary count() re-executes the
+    upstream lineage — acceptable only for small corpora or
+    counts-don't-matter runs.
 
     ``boilerplate_max_df`` enables the CCNet-style LINE-level pre-pass:
     lines present in more than that many documents are stripped from
     EVERY document before any doc-level signal is computed — chrome that
     would otherwise pollute the quality/repetition scores and the
     near-dup shingles (two boilerplate-heavy pages look like near-dups
-    of each other even when their prose differs)."""
+    of each other even when their prose differs).  NULL-text documents
+    pass through the pre-pass untouched (rebuilt text left-joins back
+    onto the corpus), so they still receive an explicit verdict instead
+    of silently vanishing before the first stage."""
+    spark = docs.sparkSession
+
+    def _barrier(df: DataFrame, name: str) -> DataFrame:
+        if scratch_dir is None:
+            return df
+        path = f"{scratch_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     counts = {"input": docs.count()}
 
     if boilerplate_max_df is not None:
-        from ..operators import dedup as dd_lines
-        rewritten = dd_lines.remove_boilerplate_lines(
-            docs, id_col=id_col, text_col=text_col,
-            max_doc_freq=boilerplate_max_df,
-            min_chars=boilerplate_min_chars)
-        other_cols = [c for c in docs.columns
-                      if c not in (id_col, text_col)]
-        docs = rewritten.select(
-            id_col, F.col("text").alias(text_col)).join(
-            docs.select(id_col, *other_cols), id_col)
+        rewritten = _barrier(
+            dd.remove_boilerplate_lines(
+                docs, id_col=id_col, text_col=text_col,
+                max_doc_freq=boilerplate_max_df,
+                min_chars=boilerplate_min_chars),
+            "stage0_boilerplate")
+        # left join + coalesce: docs with NULL text produce no line rows
+        # in the rebuild — they must survive the pre-pass (text unchanged)
+        # rather than being inner-joined out of the corpus
+        repl = rewritten.select(id_col, F.col("text").alias("_rw_text"))
+        docs = (docs.join(repl, id_col, "left")
+                .withColumn(text_col, F.coalesce(F.col("_rw_text"),
+                                                 F.col(text_col)))
+                .drop("_rw_text"))
         counts["boiler_lines_dropped"] = int(
             rewritten.agg(F.sum("dropped_lines")).collect()[0][0] or 0)
 
@@ -81,27 +114,37 @@ def run_curation(docs: DataFrame,
         docs, id_col=id_col, text_col=text_col,
         min_quality=min_quality, max_top_gram_frac=max_top_gram_frac,
         require_lang=require_lang)
-    kept = docs.join(
-        verdict.filter(F.col("keep")).select(id_col), id_col, "left_semi")
+    kept = _barrier(
+        docs.join(verdict.filter(F.col("keep")).select(id_col),
+                  id_col, "left_semi"),
+        "stage1_verdict")
     counts["after_verdict"] = kept.count()
 
     if near_dup:
-        kept = dd.minhash_dedup(
-            kept, id_col=id_col, text_col=text_col,
-            jaccard_threshold=jaccard_threshold, max_df=max_df,
-            transitive=transitive_dedup)
+        cc_scratch = (f"{scratch_dir}/stage2_cc"
+                      if scratch_dir is not None else None)
+        kept = _barrier(
+            dd.minhash_dedup(
+                kept, id_col=id_col, text_col=text_col,
+                jaccard_threshold=jaccard_threshold, max_df=max_df,
+                transitive=transitive_dedup, scratch_dir=cc_scratch),
+            "stage2_near_dup")
         counts["after_near_dup"] = kept.count()
 
     if bench is not None:
-        kept = mx.benchmark_decontaminate(
-            kept, bench, id_col=id_col, text_col=text_col,
-            min_overlap=min_overlap)
+        kept = _barrier(
+            mx.benchmark_decontaminate(
+                kept, bench, id_col=id_col, text_col=text_col,
+                min_overlap=min_overlap),
+            "stage3_decontam")
         counts["after_decontam"] = kept.count()
 
     if mix_rates is not None:
-        kept = mx.stratified_sample(
-            kept, mix_rates, stratum_col=stratum_col, id_col=id_col,
-            default_rate=default_rate)
+        kept = _barrier(
+            mx.stratified_sample(
+                kept, mix_rates, stratum_col=stratum_col, id_col=id_col,
+                default_rate=default_rate),
+            "stage4_mixing")
         counts["after_mixing"] = kept.count()
 
     counts["kept"] = list(counts.values())[-1]

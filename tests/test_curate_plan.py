@@ -75,6 +75,49 @@ def test_curate_cli_smoke(tmp_path):
     assert 0 < counts["kept"] <= counts["after_verdict"] <= 300
 
 
+def test_run_curation_stage_barrier_executes_stages_once(spark, tmp_path):
+    """With scratch_dir, every stage boundary is a parquet barrier: the
+    returned frame's plan is a bare scan of the LAST stage's parquet —
+    no verdict projection, no LSH joins, no window — so the final write
+    and any later action re-execute NOTHING upstream; stage counts and
+    the kept set are identical to the barrier-less run."""
+    docs = _corpus(spark)
+    kept_b, counts_b = run_curation(docs, jaccard_threshold=0.5,
+                                    max_df=None,
+                                    scratch_dir=str(tmp_path / "scr"))
+    plan = kept_b._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan         # reads the materialized stage
+    for node in ("Join", "Window", "Aggregate", "Exchange"):
+        assert node not in plan, f"barriered plan re-executes a {node}"
+    # stage outputs are materialized once per stage under the scratch dir
+    names = {p.name for p in (tmp_path / "scr").iterdir()}
+    assert names == {"stage1_verdict", "stage2_near_dup"}
+    kept_p, counts_p = run_curation(docs, jaccard_threshold=0.5,
+                                    max_df=None)
+    assert sorted(r["doc_id"] for r in kept_b.collect()) == \
+        sorted(r["doc_id"] for r in kept_p.collect()) == [0, 5]
+    assert counts_b == counts_p
+
+
+def test_run_curation_boilerplate_null_text_survives_to_verdict(spark):
+    """A NULL-text doc yields no line rows in the pre-pass rebuild; the
+    left-join+coalesce must carry it through to the verdict stage (where
+    it gets an explicit drop) instead of silently vanishing from the
+    corpus before any stage sees it."""
+    nav = "shared navigation chrome line"
+    good = ("the quick brown fox jumps over the lazy dog and runs for "
+            "the hills where the other animals live in the open")
+    rows = [(i, "en", nav + "\n" + good + f" variant {i}") for i in range(4)]
+    rows.append((8, "en", None))              # NULL text
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    kept, counts = run_curation(docs, boilerplate_max_df=2, near_dup=False)
+    assert counts["input"] == 5
+    # the NULL doc reached the verdict (and was dropped THERE, by the
+    # quality gate) — after_verdict counts only the 4 real docs
+    assert counts["after_verdict"] == 4
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
+
+
 def test_run_curation_boilerplate_prepass(spark):
     """The line-level pre-pass strips corpus-wide chrome BEFORE doc-level
     signals: the shared navigation line appears in 4 docs (> max_df 2) and
