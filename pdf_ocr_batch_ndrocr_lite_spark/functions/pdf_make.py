@@ -390,9 +390,16 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
     variant='winansi': simple font with bare /Encoding /WinAnsiEncoding —
       bytes decode through cp1252 (0x91-0x94 are the smart quotes).
     variant='cid_raw': Type0 /Identity-H font with NO /ToUnicode — the
-      undecodable-CID boundary class (a predefined CMap named via
-      /Encoding without an embedded map): codes decode to U+FFFD and the
-      scanner must surface a page warning.
+      Adobe-Identity registry: codes decode as UTF-16BE code units
+      (pypdf's Identity fallback; reference parity, app.py:1202-1223),
+      no warning.
+    variant='cid_ucs2': Type0 font, /Encoding /UniJIS-UCS2-H (Adobe-
+      Japan1 UCS-2 registry), NO /ToUnicode — the code IS the UCS-2
+      code point by the CMap's definition: decodes to real characters,
+      no warning.
+    variant='cid_rksj': Type0 font, /Encoding /90ms-RKSJ-H (Shift-JIS
+      code space), NO /ToUnicode — a GENUINELY unmapped registry: codes
+      decode to U+FFFD and the scanner must surface a page warning.
     """
     objs: List[bytes] = [b""]  # 1-indexed
 
@@ -431,6 +438,16 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
     elif variant == "cid_raw":
         font_num = add(b"<< /Type /Font /Subtype /Type0 "
                        b"/BaseFont /NoMapCID /Encoding /Identity-H >>")
+        hx = b"".join(b"%04X" % c for c in codes)
+        content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
+    elif variant == "cid_ucs2":
+        font_num = add(b"<< /Type /Font /Subtype /Type0 "
+                       b"/BaseFont /UCS2CID /Encoding /UniJIS-UCS2-H >>")
+        hx = b"".join(b"%04X" % c for c in codes)
+        content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
+    elif variant == "cid_rksj":
+        font_num = add(b"<< /Type /Font /Subtype /Type0 "
+                       b"/BaseFont /LegacyCID /Encoding /90ms-RKSJ-H >>")
         hx = b"".join(b"%04X" % c for c in codes)
         content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
     else:

@@ -295,6 +295,20 @@ def _std_cfm(enc_dict_src: bytes) -> bytes:
     return m.group(1) if m else b""
 
 
+def _strip_cf_subdict(enc_dict_src: bytes) -> bytes:
+    """The encrypt dict with its /CF crypt-filter sub-dict excised: keys
+    like /Length must be read at the TOP level only — the nested filter
+    dict carries its own /Length in BYTES (e.g. '/Length 16' for
+    AES-128), and an unanchored lookup that matched it would derive a
+    2-byte file key and misroute a readable PDF to parse_failure."""
+    m = re.search(rb"/CF\s*<<", enc_dict_src)
+    if not m:
+        return enc_dict_src
+    sub = _find_dict(enc_dict_src[m.end() - 2:])
+    start = m.end() - 2
+    return enc_dict_src[:start] + enc_dict_src[start + len(sub):]
+
+
 def _auth_empty_password(data: bytes, objs: Dict[int, _Obj]
                          ) -> Optional[_Decryptor]:
     """The reference's `reader.decrypt("")` attempt (app.py:1180-1189):
@@ -353,7 +367,13 @@ def _auth_empty_password(data: bytes, objs: Dict[int, _Obj]
             raise EncryptedPdfError(
                 f"encrypted: unsupported V4 crypt filter "
                 f"{cfm.decode('ascii', 'replace')}")
-        keylen = (_dict_int(d, b"/Length") or 128) // 8
+        # /Length scoped to the TOP-level dict (the /CF sub-dict's own
+        # /Length is a byte count); defensively, a value < 40 can only be
+        # the crypt-filter byte convention — scale it to bits
+        keybits = _dict_int(_strip_cf_subdict(d), b"/Length") or 128
+        if keybits < 40:
+            keybits *= 8
+        keylen = keybits // 8
     else:
         raise EncryptedPdfError(f"encrypted: unsupported V={v} R={r}")
 
@@ -731,17 +751,45 @@ def _expand_object_streams(objs: Dict[int, _Obj],
 
 
 class FontInfo:
-    __slots__ = ("two_byte", "cmap", "base_encoding")
+    __slots__ = ("two_byte", "cmap", "base_encoding", "utf16_identity")
 
     def __init__(self, two_byte: bool = False,
                  cmap: Optional[Dict[int, str]] = None,
-                 base_encoding: Optional[str] = None) -> None:
+                 base_encoding: Optional[str] = None,
+                 utf16_identity: bool = False) -> None:
         self.two_byte = two_byte
         self.cmap = cmap  # code -> unicode; None = identity (StandardEnc)
         # python codec for the font's base encoding when it is NOT the
         # byte-identity default: 'cp1252' (/WinAnsiEncoding — the smart-
         # quote bytes 0x91-0x94 etc.), 'mac-roman' (/MacRomanEncoding)
         self.base_encoding = base_encoding
+        # Type0 fonts whose /Encoding names a predefined CMap where the
+        # 2-byte code IS (or pypdf treats as) the UTF-16BE code unit:
+        # Adobe-Identity (pypdf decodes Identity-H/V show strings as
+        # UTF-16BE when no /ToUnicode is present — reference parity,
+        # app.py:1202-1223) and the Uni*-UCS2/UTF16 registries, where
+        # identity is the CMap's actual definition
+        self.utf16_identity = utf16_identity
+
+
+# Predefined CMap names for which code → UTF-16BE identity decoding is
+# correct (Uni*-UCS2/UTF16: by definition) or reference-faithful
+# (Identity-H/V: pypdf's fallback when no /ToUnicode is embedded).
+# Registries NOT listed (90ms-RKSJ-*, EUC-*, GBK-EUC-*, B5pc-*, ...)
+# keep the U+FFFD degradation plus a page warning: their code space is a
+# legacy multi-byte encoding that needs the real Adobe CMap tables.
+_CID_UTF16_IDENTITY_ENCODINGS = {
+    b"Identity-H", b"Identity-V",
+    b"UniJIS-UCS2-H", b"UniJIS-UCS2-V",
+    b"UniJIS-UCS2-HW-H", b"UniJIS-UCS2-HW-V",
+    b"UniJIS-UTF16-H", b"UniJIS-UTF16-V",
+    b"UniGB-UCS2-H", b"UniGB-UCS2-V",
+    b"UniGB-UTF16-H", b"UniGB-UTF16-V",
+    b"UniCNS-UCS2-H", b"UniCNS-UCS2-V",
+    b"UniCNS-UTF16-H", b"UniCNS-UTF16-V",
+    b"UniKS-UCS2-H", b"UniKS-UCS2-V",
+    b"UniKS-UTF16-H", b"UniKS-UTF16-V",
+}
 
 
 class PageScan:
@@ -864,6 +912,11 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
                 _decode_stream(objs[tu_ref], dec, objs))
         except Exception:
             cmap = None
+    utf16_identity = False
+    if two_byte:
+        em = re.search(rb"/Encoding\s*/([^\s/<>\[\]()]+)", d)
+        if em and em.group(1) in _CID_UTF16_IDENTITY_ENCODINGS:
+            utf16_identity = True
     base_encoding = None
     if not two_byte:
         # /Encoding: a bare name, or a dict (inline or referenced) with
@@ -888,7 +941,8 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
                 merged.update(cmap)
             cmap = merged
     return FontInfo(two_byte=two_byte, cmap=cmap,
-                    base_encoding=base_encoding)
+                    base_encoding=base_encoding,
+                    utf16_identity=utf16_identity)
 
 
 def _resources_src(page: _Obj, objs: Dict[int, _Obj]) -> bytes:
@@ -966,11 +1020,14 @@ def scan_document(data: bytes) -> DocScan:
     (unsupported filter / corrupt payload — distinct from 'no text', so
     callers can route `needs_ocr` with a parse warning instead of silently
     treating a searchable LZW/JPX page as empty, which wastes OCR at
-    scale).  A 2-byte Type0 font with NO usable /ToUnicode CMap also
-    counts a page warning: its show strings decode to U+FFFD (the char
-    COUNT stays right — one per code — but the text layer is replacement
+    scale).  A 2-byte Type0 font with NO usable /ToUnicode CMap AND a
+    non-identity predefined registry (90ms-RKSJ-H etc.) also counts a
+    page warning: its show strings decode to U+FFFD (the char COUNT
+    stays right — one per code — but the text layer is replacement
     chars, exactly the CJK class this tool targets, so the degradation
-    must be visible, not silent).
+    must be visible, not silent).  Identity-H/V and the Uni*-UCS2/UTF16
+    registries instead decode as UTF-16BE (see FontInfo.utf16_identity)
+    and do not warn.
 
     Raises PdfParseError for structurally unreadable files and
     EncryptedPdfError when the empty-password attempt fails; PER-PAGE
@@ -1005,9 +1062,13 @@ def scan_document(data: bytes) -> DocScan:
                 warnings += 1
                 continue  # page degrades to fewer/zero ops, never raises
         fonts = _page_fonts(page, objs, dec, font_cache)
-        # CID font with no CMap → text decodes to U+FFFD: surface it
+        # CID font with no usable mapping at all (no /ToUnicode AND a
+        # non-identity predefined registry — 90ms-RKSJ etc.) → text
+        # decodes to U+FFFD: surface it.  The Identity/UCS2/UTF16
+        # registries decode for real (reference parity) and don't warn.
         warnings += sum(1 for fi in fonts.values()
-                        if fi.two_byte and not fi.cmap)
+                        if fi.two_byte and not fi.cmap
+                        and not fi.utf16_identity)
         out.append(PageScan(b"".join(chunks), fonts, warnings))
     if not out:
         raise PdfParseError("no pages")
@@ -1140,10 +1201,25 @@ def _decode_shown(raw: bytes, font: Optional[FontInfo]) -> Optional[str]:
     if font is None:
         return None
     if font.two_byte:
-        cmap = font.cmap or {}
+        if not font.cmap:
+            if font.utf16_identity:
+                # Identity/UCS2/UTF16 predefined CMap, no /ToUnicode:
+                # the code units ARE UTF-16BE (surrogate pairs included;
+                # a dangling odd byte degrades to U+FFFD)
+                return raw.decode("utf-16-be", errors="replace")
+            return "�" * (len(raw) // 2)
+        cmap = font.cmap
+        # per-code fallback for codes the /ToUnicode CMap misses: the
+        # identity registries fall back to the code point itself (pypdf's
+        # behavior), others to U+FFFD; lone surrogates never leak
+        def _fb(code: int) -> str:
+            if font.utf16_identity and not 0xD800 <= code <= 0xDFFF:
+                return chr(code)
+            return "�"
         return "".join(
-            cmap.get(int.from_bytes(raw[k:k + 2], "big"), "�")
-            for k in range(0, len(raw) - 1, 2))
+            cmap.get(c, _fb(c))
+            for c in (int.from_bytes(raw[k:k + 2], "big")
+                      for k in range(0, len(raw) - 1, 2)))
     if font.cmap is None and font.base_encoding is None:
         return None
     cmap = font.cmap or {}

