@@ -271,6 +271,29 @@ def test_embedding_near_dup_cap_invariant(spark):
     assert split == plain
 
 
+def test_embedding_near_dup_blas_kernel_tolerance_verified(spark):
+    """kernel='blas' (Arrow/numpy einsum per candidate pair) vs the exact
+    left fold: identical pair SET (these double-precision vectors leave
+    margins that dwarf reduction-order noise), cosines within 1e-12, and
+    the default kernel stays 'exact' (the q29 oracle's bit-identical
+    path).  The join shape — bucketed + salt-split — is shared, so the
+    blas path inherits every hot-bucket guarantee."""
+    emb = _skewed_embeddings(spark)
+    exact = {(r["a_id"], r["b_id"]): r["cosine"]
+             for r in dd.embedding_near_dup_pairs(
+                 emb, threshold=0.999999).collect()}
+    blas = {(r["a_id"], r["b_id"]): r["cosine"]
+            for r in dd.embedding_near_dup_pairs(
+                emb, threshold=0.999999, kernel="blas").collect()}
+    assert set(exact) == set(blas)
+    for k, v in exact.items():
+        assert abs(v - blas[k]) < 1e-12
+    # and under the salt split too (cap forces s > 1 on the hot bucket)
+    blas_split = {(r["a_id"], r["b_id"]) for r in dd.embedding_near_dup_pairs(
+        emb, threshold=0.999999, bucket_cap=8, kernel="blas").collect()}
+    assert blas_split == set(exact)
+
+
 def test_embedding_hot_bucket_split_bounds_cell_size(spark):
     """With cap=8 the 40-row hot bucket splits into s=5 cells: the largest
     single join cell sees 40 (replicated a-side) x ~8 (b-side) candidates

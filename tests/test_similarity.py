@@ -212,3 +212,52 @@ def test_per_domain_cap_psl_vs_host(spark):
     assert got == [(0, "a.co.jp"), (1, "a.co.jp"), (10, "b.co.jp")]
     host = cu.per_domain_cap(df, cap=2, order_col="doc_id", psl=False)
     assert host.count() == 6  # every host unique: cap never binds
+
+
+# --- BLAS kernel (tolerance-verified fast path) ---------------------------
+
+
+def test_blas_query_kernel_matches_exact_within_tolerance(spark):
+    """kernel='blas' (Arrow/numpy batch) vs the exact left fold: same
+    ids, same ORDER (margins in this corpus dwarf the ~1e-12 reduction-
+    order noise), cosines within 1e-9.  The default kernel must stay
+    'exact' — it is what the q15/q16/q51 oracle hashes gate."""
+    q = _query(spark)
+    exact = sim.brute_force_topk(_emb(spark), q, k=20).collect()
+    blas = sim.brute_force_topk(_emb(spark), q, k=20,
+                                kernel="blas").collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in blas]
+    for a, b in zip(exact, blas):
+        # embeddings are stored float32: the exact kernel multiplies at
+        # float32 before the double fold, the blas kernel upcasts first —
+        # agreement is bounded by storage precision, not reduction order
+        assert abs(a["cosine"] - b["cosine"]) < 5e-6
+    # the blas plan runs the scoring in an Arrow python stage; the exact
+    # plan must stay fully JVM-side
+    blas_plan = sim.cosine_to_query(_emb(spark), q, kernel="blas") \
+        ._jdf.queryExecution().executedPlan().toString()
+    exact_plan = sim.cosine_to_query(_emb(spark), q) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in blas_plan
+    assert "Python" not in exact_plan
+
+
+def test_blas_ivf_kernel_matches_exact_and_keeps_exact_assignment(spark):
+    """ivf_topk(kernel='blas'): scores through numpy, but the cell
+    ASSIGNMENT stays on the exact left fold (a flipped assignment would
+    change which rows are scanned); results match the exact kernel."""
+    rows, cents = [], [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]
+    import random as _r
+    rng = _r.Random(3)
+    for i in range(90):
+        c = cents[i % 3]
+        rows.append((i, [v + rng.gauss(0, 0.1) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = [9.0, 0.5, 0.0, 0.0]
+    exact = sim.ivf_topk(emb, q, cents, k=7, nprobe=2).collect()
+    blas = sim.ivf_topk(emb, q, cents, k=7, nprobe=2,
+                        kernel="blas").collect()
+    assert [(r["vec_id"], r["cell"]) for r in exact] == \
+        [(r["vec_id"], r["cell"]) for r in blas]
+    for a, b in zip(exact, blas):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-9
