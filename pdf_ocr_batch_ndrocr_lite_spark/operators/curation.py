@@ -42,11 +42,12 @@ def extract_domain(url_col):
 
 
 # Frozen public-suffix subset (publicsuffix.org data, the high-traffic
-# 2-label entries a crawl actually hits): country-code second-level
-# registries plus the big shared-hosting suffixes.  Embedded as a literal
-# — no dependency, broadcast inside the expression.  3+-label suffixes
-# (rare) fall back to the 2-label rule; full-PSL parity would swap this
-# list for the published dat file, same expression shape.
+# entries a crawl actually hits), embedded as literals — no dependency,
+# broadcast inside the expression.  ALL THREE PSL rule classes are
+# implemented (normal, wildcard `*.`, exception `!`), with the real
+# algorithm's precedence (exception beats everything, else most labels
+# wins, else the implicit `*` TLD rule) — swapping in the full published
+# dat file is a data change only, the expression shape is complete.
 PUBLIC_SUFFIXES_2L = [
     # ccTLD second-level registries
     "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
@@ -82,25 +83,94 @@ PUBLIC_SUFFIXES_2L = [
     "tumblr.com", "fastly.net",
 ]
 
+# Normal 3-label suffixes (publicsuffix.org): US K-12 state registries,
+# Australian state education registries, the S3 bucket-website suffix.
+PUBLIC_SUFFIXES_3L = [
+    "k12.ca.us", "k12.ma.us", "k12.ny.us", "k12.tx.us", "k12.wa.us",
+    "act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
+    "s3.amazonaws.com", "s3-website-us-east-1.amazonaws.com",
+]
+
+# Wildcard rules `*.<base>` (publicsuffix.org): every DIRECT child of the
+# base is itself a public suffix.  Japanese city registries, legacy
+# wildcard ccTLDs, and the EC2 per-region hostname space.
+PSL_WILDCARD_BASES_1L = ["ck", "bd", "er", "fk", "mm", "np"]
+PSL_WILDCARD_BASES_2L = [
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+]
+PSL_WILDCARD_BASES_3L = ["compute.amazonaws.com", "elb.amazonaws.com"]
+
+# Exception rules `!<host>` (publicsuffix.org): carve-outs from a
+# wildcard — the named host IS registrable even though the wildcard
+# would make it a public suffix.
+PSL_EXCEPTIONS_2L = ["www.ck"]
+PSL_EXCEPTIONS_3L = [
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+]
+
+
+def _last_labels(parts, k):
+    """Dotted join of the last k labels.  try_element_at: under ANSI
+    mode an out-of-bounds element_at raises, and non-short-circuiting
+    `&` evaluates every branch's expression — shorter hosts instead
+    yield NULLs that concat_ws skips (degenerate value = the full host),
+    and every isin test below is guarded by an n >= k predicate, so the
+    degenerate value can never match a k-label rule set."""
+    return F.concat_ws(
+        ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)])
+
 
 def registrable_domain(url_col):
-    """PSL-aware eTLD+1: the registrable domain of the url's host.
+    """PSL-aware eTLD+1: the registrable domain of the url's host, with
+    the full publicsuffix.org ALGORITHM (not just 2-label lookup):
 
-    ``a.co.jp`` and ``b.co.jp`` are DIFFERENT registrants — grouping by
-    bare host under-caps them, grouping by last-2 labels merges them into
-    one ``co.jp`` mega-key (wrong at crawl scale for every ccTLD
-    second-level registry).  Rule: if the last two labels form a public
-    suffix, the registrable domain is the last THREE labels, else the
-    last two; a bare 1-2-label host passes through.  Pure Catalyst
-    (split + element_at + isin over the frozen literal list)."""
+    - exception rules win outright: ``sub.city.kawasaki.jp`` →
+      ``city.kawasaki.jp`` (the ``!city.kawasaki.jp`` carve-out from
+      ``*.kawasaki.jp``), ``anything.www.ck`` → ``www.ck``;
+    - else the matching rule with the MOST labels wins, a wildcard
+      ``*.base`` consuming one real label: under ``*.kawasaki.jp`` the
+      public suffix of ``x.a.kawasaki.jp`` is ``a.kawasaki.jp``, so the
+      registrable domain is the whole ``x.a.kawasaki.jp``; EC2 hosts
+      ``name.us-east-1.compute.amazonaws.com`` likewise stay whole
+      under ``*.compute.amazonaws.com``;
+    - else normal rules (``co.jp`` → last 3, ``s3.amazonaws.com`` →
+      last 4);
+    - else the implicit ``*`` rule: the TLD is the suffix (last 2
+      labels are registrable).
+
+    A host that IS a public suffix (or shorter) passes through
+    unchanged — it has no registrable domain, and passthrough keeps the
+    cap keys total.  ``a.co.jp`` and ``b.co.jp`` are DIFFERENT
+    registrants — grouping by bare host under-caps them, last-2-labels
+    grouping merges every ``co.jp`` registrant into one mega-key.  Pure
+    Catalyst (split + element_at + isin over frozen literal lists)."""
     host = extract_domain(url_col)
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(".", F.element_at(parts, -3),
-                        F.element_at(parts, -2), F.element_at(parts, -1))
-    return (F.when(n <= 2, host)
-            .when(last2.isin(PUBLIC_SUFFIXES_2L), last3)
+    last1 = F.element_at(parts, -1)
+    last2 = _last_labels(parts, 2)
+    last3 = _last_labels(parts, 3)
+    last4 = _last_labels(parts, 4)
+    last5 = _last_labels(parts, 5)
+    ps_n = (
+        # exception rules first (PSL: exceptions beat every other match)
+        F.when((n >= 3) & last3.isin(PSL_EXCEPTIONS_3L), F.lit(2))
+        .when((n >= 2) & last2.isin(PSL_EXCEPTIONS_2L), F.lit(1))
+        # then longest match, wildcards consuming one real label
+        .when((n >= 4) & last3.isin(PSL_WILDCARD_BASES_3L), F.lit(4))
+        .when((n >= 3) & (last3.isin(PUBLIC_SUFFIXES_3L)
+                          | last2.isin(PSL_WILDCARD_BASES_2L)), F.lit(3))
+        .when((n >= 2) & (last2.isin(PUBLIC_SUFFIXES_2L)
+                          | last1.isin(PSL_WILDCARD_BASES_1L)), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (F.when(n <= ps_n, host)
+            .when(ps_n == 4, last5)
+            .when(ps_n == 3, last4)
+            .when(ps_n == 2, last3)
             .otherwise(last2))
 
 

@@ -199,6 +199,45 @@ def test_registrable_domain_psl_rules(spark):
     assert got == [want for _, want in urls]
 
 
+def test_registrable_domain_wildcard_and_exception_rules(spark):
+    """Full PSL algorithm coverage: wildcard `*.base` rules (each direct
+    child of the base is itself a public suffix), exception `!host`
+    carve-outs (which beat the wildcard), 3-label normal rules, and
+    suffix-is-the-host passthrough."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    urls = [
+        # *.kawasaki.jp: the direct child is the suffix → x rolls to a.kawasaki.jp... i.e. whole host of depth base+2
+        ("https://x.a.kawasaki.jp/p", "x.a.kawasaki.jp"),
+        ("https://deep.x.a.kawasaki.jp/p", "x.a.kawasaki.jp"),
+        # exception !city.kawasaki.jp beats the wildcard
+        ("https://city.kawasaki.jp/p", "city.kawasaki.jp"),
+        ("https://sub.city.kawasaki.jp/p", "city.kawasaki.jp"),
+        # legacy wildcard ccTLD *.ck, with the !www.ck exception
+        ("https://shop.foo.ck/p", "shop.foo.ck"),
+        ("https://www.ck/p", "www.ck"),
+        ("https://a.www.ck/p", "www.ck"),
+        # EC2 wildcard *.compute.amazonaws.com
+        ("https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/",
+         "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"),
+        # 3-label normal rule s3.amazonaws.com
+        ("https://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+        ("https://extra.bucket.s3.amazonaws.com/key",
+         "bucket.s3.amazonaws.com"),
+        # k12 state registries (3-label normal)
+        ("https://school.k12.ma.us/p", "school.k12.ma.us"),
+        # a host that IS a public suffix passes through
+        ("https://s3.amazonaws.com/p", "s3.amazonaws.com"),
+        ("https://kawasaki.jp/p", "kawasaki.jp"),
+        ("https://a.kawasaki.jp/p", "a.kawasaki.jp"),  # == wildcard suffix
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = [r[0] for r in df.select(
+        cu.registrable_domain(F.col("url"))).collect()]
+    assert got == [want for _, want in urls]
+
+
 def test_per_domain_cap_psl_vs_host(spark):
     """psl=True caps per registrable domain: a.co.jp's five subdomains
     collapse to one key (2 survivors of 5), while the host cap would keep
