@@ -398,8 +398,14 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
       code point by the CMap's definition: decodes to real characters,
       no warning.
     variant='cid_rksj': Type0 font, /Encoding /90ms-RKSJ-H (Shift-JIS
-      code space), NO /ToUnicode — a GENUINELY unmapped registry: codes
-      decode to U+FFFD and the scanner must surface a page warning.
+      code space), NO /ToUnicode — `codes` are UNICODE code points,
+      encoded to the show string via cp932 (exactly what a RKSJ writer
+      emits): the scanner decodes them back through the code-space
+      codec, real characters, no warning.
+    variant='cid_unknown': Type0 font naming a registry in NO table
+      (/Bogus-CMap-H), NO /ToUnicode — the genuinely unmapped boundary:
+      codes decode to U+FFFD and the scanner must surface a page
+      warning.
     """
     objs: List[bytes] = [b""]  # 1-indexed
 
@@ -448,6 +454,12 @@ def build_glyph_pdf(variant: str, codes: Sequence[int]) -> bytes:
     elif variant == "cid_rksj":
         font_num = add(b"<< /Type /Font /Subtype /Type0 "
                        b"/BaseFont /LegacyCID /Encoding /90ms-RKSJ-H >>")
+        sjis = "".join(chr(c) for c in codes).encode("cp932")
+        hx = sjis.hex().upper().encode("ascii")
+        content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
+    elif variant == "cid_unknown":
+        font_num = add(b"<< /Type /Font /Subtype /Type0 "
+                       b"/BaseFont /NoTableCID /Encoding /Bogus-CMap-H >>")
         hx = b"".join(b"%04X" % c for c in codes)
         content = b"BT /F1 12 Tf 72 720 Td <" + hx + b"> Tj ET"
     else:

@@ -751,12 +751,14 @@ def _expand_object_streams(objs: Dict[int, _Obj],
 
 
 class FontInfo:
-    __slots__ = ("two_byte", "cmap", "base_encoding", "utf16_identity")
+    __slots__ = ("two_byte", "cmap", "base_encoding", "utf16_identity",
+                 "byte_codec")
 
     def __init__(self, two_byte: bool = False,
                  cmap: Optional[Dict[int, str]] = None,
                  base_encoding: Optional[str] = None,
-                 utf16_identity: bool = False) -> None:
+                 utf16_identity: bool = False,
+                 byte_codec: Optional[str] = None) -> None:
         self.two_byte = two_byte
         self.cmap = cmap  # code -> unicode; None = identity (StandardEnc)
         # python codec for the font's base encoding when it is NOT the
@@ -770,14 +772,16 @@ class FontInfo:
         # app.py:1202-1223) and the Uni*-UCS2/UTF16 registries, where
         # identity is the CMap's actual definition
         self.utf16_identity = utf16_identity
+        # Type0 fonts whose predefined CMap's code space is a standard
+        # character encoding (90ms-RKSJ → cp932 etc., see
+        # _CID_BYTE_CODEC_ENCODINGS): show strings decode whole-string
+        # through this stdlib codec when no /ToUnicode is embedded
+        self.byte_codec = byte_codec
 
 
 # Predefined CMap names for which code → UTF-16BE identity decoding is
 # correct (Uni*-UCS2/UTF16: by definition) or reference-faithful
 # (Identity-H/V: pypdf's fallback when no /ToUnicode is embedded).
-# Registries NOT listed (90ms-RKSJ-*, EUC-*, GBK-EUC-*, B5pc-*, ...)
-# keep the U+FFFD degradation plus a page warning: their code space is a
-# legacy multi-byte encoding that needs the real Adobe CMap tables.
 _CID_UTF16_IDENTITY_ENCODINGS = {
     b"Identity-H", b"Identity-V",
     b"UniJIS-UCS2-H", b"UniJIS-UCS2-V",
@@ -789,6 +793,38 @@ _CID_UTF16_IDENTITY_ENCODINGS = {
     b"UniCNS-UTF16-H", b"UniCNS-UTF16-V",
     b"UniKS-UCS2-H", b"UniKS-UCS2-V",
     b"UniKS-UTF16-H", b"UniKS-UTF16-V",
+}
+
+# Legacy predefined CMaps whose CODE SPACE is a standard character
+# encoding: the show-string bytes ARE Shift-JIS / EUC-JP / GBK / Big5 /
+# EUC-KR encoded text (the CMap maps those same bytes to the CIDs of the
+# right glyphs), so decoding the raw bytes through the stdlib codec
+# yields the correct TEXT without shipping Adobe's CID→glyph tables.
+# These are VARIABLE-length encodings — decode is whole-string, not the
+# fixed 2-byte walk.  Registries still absent from both tables (an
+# unknown name, an embedded CMap stream reference) keep the U+FFFD
+# degradation plus a page warning.
+_CID_BYTE_CODEC_ENCODINGS = {
+    # Adobe-Japan1, Shift-JIS code space (incl. the 83pv/90pv variants)
+    b"90ms-RKSJ-H": "cp932", b"90ms-RKSJ-V": "cp932",
+    b"90msp-RKSJ-H": "cp932", b"90msp-RKSJ-V": "cp932",
+    b"90pv-RKSJ-H": "cp932", b"83pv-RKSJ-H": "cp932",
+    b"Ext-RKSJ-H": "cp932", b"Ext-RKSJ-V": "cp932",
+    # Adobe-Japan1, EUC-JP code space
+    b"EUC-H": "euc_jp", b"EUC-V": "euc_jp",
+    b"Add-RKSJ-H": "cp932", b"Add-RKSJ-V": "cp932",
+    # Adobe-GB1 (simplified Chinese), GBK/EUC-CN code space
+    b"GBK-EUC-H": "gbk", b"GBK-EUC-V": "gbk",
+    b"GB-EUC-H": "gb2312", b"GB-EUC-V": "gb2312",
+    b"GBKp-EUC-H": "gbk", b"GBKp-EUC-V": "gbk",
+    b"GBK2K-H": "gb18030", b"GBK2K-V": "gb18030",
+    # Adobe-CNS1 (traditional Chinese), Big5 code space
+    b"B5pc-H": "big5", b"B5pc-V": "big5",
+    b"ETen-B5-H": "big5", b"ETen-B5-V": "big5",
+    b"HKscs-B5-H": "big5hkscs", b"HKscs-B5-V": "big5hkscs",
+    # Adobe-Korea1 / KR, EUC-KR code space
+    b"KSC-EUC-H": "euc_kr", b"KSC-EUC-V": "euc_kr",
+    b"KSCms-UHC-H": "cp949", b"KSCms-UHC-V": "cp949",
 }
 
 
@@ -913,10 +949,14 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
         except Exception:
             cmap = None
     utf16_identity = False
+    byte_codec = None
     if two_byte:
         em = re.search(rb"/Encoding\s*/([^\s/<>\[\]()]+)", d)
-        if em and em.group(1) in _CID_UTF16_IDENTITY_ENCODINGS:
-            utf16_identity = True
+        if em:
+            if em.group(1) in _CID_UTF16_IDENTITY_ENCODINGS:
+                utf16_identity = True
+            else:
+                byte_codec = _CID_BYTE_CODEC_ENCODINGS.get(em.group(1))
     base_encoding = None
     if not two_byte:
         # /Encoding: a bare name, or a dict (inline or referenced) with
@@ -942,7 +982,8 @@ def _parse_font(font_obj: _Obj, objs: Dict[int, _Obj],
             cmap = merged
     return FontInfo(two_byte=two_byte, cmap=cmap,
                     base_encoding=base_encoding,
-                    utf16_identity=utf16_identity)
+                    utf16_identity=utf16_identity,
+                    byte_codec=byte_codec)
 
 
 def _resources_src(page: _Obj, objs: Dict[int, _Obj]) -> bytes:
@@ -1062,13 +1103,15 @@ def scan_document(data: bytes) -> DocScan:
                 warnings += 1
                 continue  # page degrades to fewer/zero ops, never raises
         fonts = _page_fonts(page, objs, dec, font_cache)
-        # CID font with no usable mapping at all (no /ToUnicode AND a
-        # non-identity predefined registry — 90ms-RKSJ etc.) → text
-        # decodes to U+FFFD: surface it.  The Identity/UCS2/UTF16
-        # registries decode for real (reference parity) and don't warn.
+        # CID font with no usable mapping at all (no /ToUnicode, not an
+        # identity registry, not a codec-backed legacy registry) → text
+        # decodes to U+FFFD: surface it.  Identity/UCS2/UTF16 decode as
+        # UTF-16BE; RKSJ/EUC/GBK/Big5/EUC-KR decode through their code
+        # space's stdlib codec — neither warns.
         warnings += sum(1 for fi in fonts.values()
                         if fi.two_byte and not fi.cmap
-                        and not fi.utf16_identity)
+                        and not fi.utf16_identity
+                        and not fi.byte_codec)
         out.append(PageScan(b"".join(chunks), fonts, warnings))
     if not out:
         raise PdfParseError("no pages")
@@ -1207,6 +1250,12 @@ def _decode_shown(raw: bytes, font: Optional[FontInfo]) -> Optional[str]:
                 # the code units ARE UTF-16BE (surrogate pairs included;
                 # a dangling odd byte degrades to U+FFFD)
                 return raw.decode("utf-16-be", errors="replace")
+            if font.byte_codec:
+                # legacy CMap whose code space IS a standard encoding
+                # (RKSJ=Shift-JIS, EUC, GBK, Big5, EUC-KR): the show
+                # bytes decode whole-string through the stdlib codec —
+                # variable-length, so no fixed 2-byte walk
+                return raw.decode(font.byte_codec, errors="replace")
             return "�" * (len(raw) // 2)
         cmap = font.cmap
         # per-code fallback for codes the /ToUnicode CMap misses: the

