@@ -323,3 +323,59 @@ def duplicate_line_stats(docs: DataFrame, id_col: str = "doc_id",
         (F.col("dup_chars") / F.col("n_chars_all").cast("double"))
         .alias("dup_line_char_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-words linear classifier scoring — the INFERENCE step of the
+# quality classifiers every large pretraining corpus pass runs (the
+# GPT-3-style logistic-regression quality filter, Brown et al. 2020
+# appendix A; the fastText-based DCLM/FineWeb-Edu filters): features are
+# words hashed into D buckets, the model is a weight per bucket plus a
+# bias, the verdict is a logit threshold.  Scoring a frozen model is pure
+# arithmetic — one fused projection, zero shuffle, zero Python — so a
+# 100 TB corpus scores at scan speed.
+#
+# Exactness discipline: weights are INTEGER TENTHS (the model is frozen
+# at 0.1 resolution) and the logit is an exact BIGINT fold, so the oracle
+# compares integers — no float summation order, no libm sigmoid drift
+# (sigmoid is monotone: thresholding the logit IS thresholding the
+# probability; callers that want the probability apply it downstream).
+# ---------------------------------------------------------------------------
+
+
+def hashed_bow_logit(docs: DataFrame, weights_tenths, bias_tenths: int = 0,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     threshold_tenths: int = 0) -> DataFrame:
+    """(id, logit_tenths, keep): logit_tenths = bias + Σ over words of
+    weights[md5hash60(word) % D] (all integer tenths, exact BIGINT math);
+    keep = logit_tenths > threshold_tenths.
+
+    The weight vector is embedded as a Catalyst literal array (a frozen
+    model of a few thousand buckets broadcasts inside the expression —
+    no dimension-table join).  Word hashing reuses the engine-portable
+    md5-15-hex trick (`sketches._hash60` semantics on the word string),
+    so the exact same bucket assignment is reproducible in ANSI SQL."""
+    D = len(weights_tenths)
+    w_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_tenths])
+    # stage the word array in its own projection (SPARK-35410: HOF
+    # expressions are never CSE'd)
+    staged = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda w: w != "").alias("_ws"),
+        w_lit.alias("_w"))
+    bucket = lambda w: F.pmod(  # noqa: E731 — local expression builder
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+        F.lit(D))
+    logit = (F.lit(int(bias_tenths)).cast("bigint")
+             + F.aggregate(
+                 F.transform(F.col("_ws"),
+                             lambda w: F.element_at(F.col("_w"),
+                                                    (bucket(w) + 1)
+                                                    .cast("int"))),
+                 F.lit(0).cast("bigint"), lambda acc, v: acc + v))
+    return staged.select(
+        F.col(id_col),
+        logit.alias("logit_tenths"),
+    ).withColumn("keep", F.col("logit_tenths")
+                 > F.lit(int(threshold_tenths)).cast("bigint"))

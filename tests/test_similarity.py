@@ -300,3 +300,46 @@ def test_blas_ivf_kernel_matches_exact_and_keeps_exact_assignment(spark):
         [(r["vec_id"], r["cell"]) for r in blas]
     for a, b in zip(exact, blas):
         assert abs(a["cosine"] - b["cosine"]) < 1e-9
+
+
+# --- hashed bag-of-words classifier scoring --------------------------------
+
+
+def test_hashed_bow_logit_matches_hand_computation(spark):
+    """Logit = bias + Σ weights[md5hash60(word) % D], exact integer math;
+    zero-word docs score the bare bias; keep thresholds the logit."""
+    import hashlib
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts2
+
+    D = 16
+    w = [((i * 5) % 11) - 5 for i in range(D)]
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, ""), (2, "   "), (3, "gamma")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: (r["logit_tenths"], r["keep"])
+           for r in ts2.hashed_bow_logit(docs, w, bias_tenths=2,
+                                         threshold_tenths=1).collect()}
+
+    def bucket(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % D
+
+    want0 = 2 + w[bucket("alpha")] * 2 + w[bucket("beta")]
+    want3 = 2 + w[bucket("gamma")]
+    assert got[0] == (want0, want0 > 1)
+    assert got[1] == (2, 2 > 1)       # empty text: bias only
+    assert got[2] == (2, True)        # whitespace-only: no words
+    assert got[3] == (want3, want3 > 1)
+
+
+def test_hashed_bow_logit_is_shuffle_free(spark):
+    """Model scoring is a pure map stage: the frozen weight vector lives
+    inside the expression (no dimension-table join, no exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts2
+
+    docs = spark.createDataFrame([(i, "a b c") for i in range(8)],
+                                 "doc_id int, text string")
+    plan = ts2.hashed_bow_logit(docs, [1] * 32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
