@@ -173,9 +173,12 @@ def stratified_exact_k(docs: DataFrame, k: int,
        (the KMV shape, `sketches.kmv_distinct`), never a stratum-wide
        window sort.
 
-    Cost: three scans of the (stratum, id) projection — column-pruned
-    reads of two narrow columns — in exchange for per-task state that no
-    longer scales with the largest stratum."""
+    Cost: the narrow (stratum, id) projection is scanned up to five
+    times (the per-stratum count feeds two broadcast sides, plus the
+    survivor count and the candidate passes) — column-pruned two-column
+    reads, all joins broadcast (plan-audited: 0 sort-merge joins, 0
+    windows) — in exchange for per-task state that no longer scales
+    with the largest stratum."""
     from .sketches import _HASH_SPACE, _hash60
 
     m = candidate_factor * k + 64
