@@ -132,9 +132,11 @@ def main(argv=None) -> int:
         # per-stage counts + final write would otherwise re-run the
         # verdict/LSH lineage up to 4x — see plans.curate module comment)
         scratch = args.curate_scratch
+        own_scratch = None
         if scratch is None and spark.sparkContext.master.startswith("local"):
             import tempfile
-            scratch = tempfile.mkdtemp(prefix="spark_graft_curate_")
+            scratch = own_scratch = tempfile.mkdtemp(
+                prefix="spark_graft_curate_")
         kept, counts = run_curation(docs, bench=bench, mix_rates=rates,
                                     default_rate=args.default_rate,
                                     min_quality=args.min_quality,
@@ -146,6 +148,12 @@ def main(argv=None) -> int:
             kept.writeTo(args.output).createOrReplace()
         else:
             kept.write.mode("overwrite").parquet(args.output)
+        if own_scratch is not None:
+            # the default temp scratch is ours to reclaim once the final
+            # output is written (up to 5 materialized stage copies);
+            # a caller-provided --curate-scratch is caller-owned
+            import shutil
+            shutil.rmtree(own_scratch, ignore_errors=True)
         counts["seconds"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(counts))
         spark.stop()

@@ -800,7 +800,14 @@ def _blas_pair_cosine_udf():
         num = np.einsum("ij,ij->i", ma, mb)
         na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
         nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(num / (na * nb))
+        den = na * nb
+        # zero-norm vector → NULL (not NaN: Spark orders NaN above every
+        # number, so a NaN cosine would PASS a >= threshold filter) —
+        # matches the exact kernel's when(den > 0) guard
+        out = num / np.where(den > 0, den, 1.0)
+        res = pd.array(out, dtype="Float64")
+        res[den <= 0] = pd.NA
+        return pd.Series(res, dtype="Float64")
 
     return _udf
 
@@ -828,12 +835,18 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col), F.col(bucket_col).alias("_bk"),
         F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n"),
     )
+    if kernel not in ("exact", "blas"):
+        raise ValueError(f"unknown kernel {kernel!r} (exact|blas)")
     joined = salted_self_join(base, ["_bk"], id_col, bucket_cap, max_salts)
     if kernel == "blas":
         cos = _blas_pair_cosine_udf()(F.col("a._v"), F.col("b._v"))
     else:
-        cos = (_dot(F.col("a._v"), F.col("b._v"))
-               / (F.col("a._n") * F.col("b._n")))
+        # zero-norm guard: cosine is undefined for a zero vector — NULL
+        # (dropped by the threshold filter) instead of an ANSI
+        # DIVIDE_BY_ZERO that would abort the whole job
+        den = F.col("a._n") * F.col("b._n")
+        cos = F.when(den > 0,
+                     _dot(F.col("a._v"), F.col("b._v")) / den)
     return (
         joined.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -93,10 +93,8 @@ def pack_sequences(docs: DataFrame, capacity: int,
     if shard_buckets is None:
         shard = F.col(shard_col).cast("string")
     else:
-        bucket = F.pmod(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-                   16, 10).cast("bigint"),
-            F.lit(shard_buckets))
+        from .sketches import _hash60  # the ONE engine-portable hash
+        bucket = F.pmod(_hash60(F.col(id_col)), F.lit(shard_buckets))
         shard = F.concat(F.col(shard_col).cast("string"), F.lit("#"),
                          bucket.cast("string"))
     toked = docs.select(F.col(id_col), shard.alias("shard"),
@@ -182,27 +180,36 @@ def stratified_exact_k(docs: DataFrame, k: int,
     from .sketches import _HASH_SPACE, _hash60
 
     m = candidate_factor * k + 64
+    # joins below run on eqNullSafe: a NULL stratum (undetected language)
+    # is a legitimate stratum — plain equality would silently drop every
+    # NULL-stratum row from the sample (groupBy already treats NULL as a
+    # key; the joins must agree)
     hashed = docs.select(
         F.col(stratum_col), F.col(id_col),
         _hash60(F.col(id_col)).alias("_h"))
     thr = (hashed.groupBy(stratum_col)
            .agg(F.count(F.lit(1)).alias("_n"))
            .select(
-               stratum_col, "_n",
+               F.col(stratum_col).alias("_ts"), "_n",
                F.when(F.col("_n") <= F.lit(m),
                       F.lit(int(_HASH_SPACE)).cast("bigint"))
                .otherwise((F.lit(float(m)) / F.col("_n")
                            * F.lit(_HASH_SPACE)).cast("bigint"))
                .alias("_t")))
-    surv = (hashed.join(F.broadcast(thr), stratum_col)
+    surv = (hashed.join(F.broadcast(thr),
+                        F.col(stratum_col).eqNullSafe(F.col("_ts")))
             .filter(F.col("_h") < F.col("_t"))
             .groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_sn")))
-    under = (thr.join(surv, stratum_col, "left")
+    under = (thr.join(surv,
+                      F.col("_ts").eqNullSafe(F.col(stratum_col)), "left")
              .filter(F.coalesce(F.col("_sn"), F.lit(0))
                      < F.least(F.lit(k).cast("bigint"), F.col("_n")))
-             .select(stratum_col, F.lit(True).alias("_all")))
-    cand = (hashed.join(F.broadcast(thr), stratum_col)
-            .join(F.broadcast(under), stratum_col, "left")
+             .select(F.col("_ts").alias("_us"),
+                     F.lit(True).alias("_all")))
+    cand = (hashed.join(F.broadcast(thr),
+                        F.col(stratum_col).eqNullSafe(F.col("_ts")))
+            .join(F.broadcast(under),
+                  F.col(stratum_col).eqNullSafe(F.col("_us")), "left")
             .filter((F.col("_h") < F.col("_t"))
                     | F.col("_all").isNotNull())
             .select(stratum_col, id_col, "_h"))

@@ -44,15 +44,35 @@ def _blas_query_cosine_udf(query: Sequence[float]):
     """Arrow-batched numpy cosine against a constant query vector."""
     q = np.asarray([float(v) for v in query], dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm: cosine undefined")
 
     @F.pandas_udf("double")
     def _udf(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="float64")
         m = np.stack(v.to_numpy()).astype(np.float64)
-        return pd.Series((m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn))
+        den = np.sqrt((m * m).sum(axis=1)) * qn
+        # zero-norm row → NULL, never NaN (Spark sorts NaN above every
+        # number — a NaN cosine would win a top-k); matches the exact
+        # kernel's when(norm > 0) guard
+        out = (m @ q) / np.where(den > 0, den, 1.0)
+        res = pd.array(out, dtype="Float64")
+        res[den <= 0] = pd.NA
+        return pd.Series(res, dtype="Float64")
 
     return _udf
+
+
+def _exact_query_cosine(vec_col, query):
+    """Exact left-fold cosine against a constant query; zero-norm rows
+    yield NULL instead of an ANSI DIVIDE_BY_ZERO."""
+    qn = sum(float(v) * float(v) for v in query) ** 0.5
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm: cosine undefined")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    n = _norm(vec_col)
+    return F.when(n > 0, _dot(vec_col, q) / (n * F.lit(qn)))
 
 
 def cosine_to_query(emb: DataFrame, query: Sequence[float],
@@ -64,16 +84,15 @@ def cosine_to_query(emb: DataFrame, query: Sequence[float],
     Arrow UDF closure (blas kernel) — a pure map stage either way, no
     shuffle, scan-bound at any scale.  See the kernel note above for the
     exact-vs-blas contract."""
+    if kernel not in ("exact", "blas"):
+        raise ValueError(f"unknown kernel {kernel!r} (exact|blas)")
     if kernel == "blas":
         return emb.select(
             F.col(id_col),
             _blas_query_cosine_udf(query)(F.col(vec_col)).alias("cosine"))
-    q = F.array(*[F.lit(float(v)) for v in query])
-    qn = sum(float(v) * float(v) for v in query) ** 0.5
     return emb.select(
         F.col(id_col),
-        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)))
-        .alias("cosine"),
+        _exact_query_cosine(F.col(vec_col), query).alias("cosine"),
     )
 
 
@@ -196,12 +215,12 @@ def ivf_topk(emb: DataFrame, query: Sequence[float],
         cells.filter(F.col("cell").isin([int(p) for p in probes])), id_col)
     # score in place on the candidate frame — joining a separate scored
     # frame back would re-evaluate the centroid-argmin lineage twice
+    if kernel not in ("exact", "blas"):
+        raise ValueError(f"unknown kernel {kernel!r} (exact|blas)")
     if kernel == "blas":
         cos = _blas_query_cosine_udf(query)(F.col(vec_col))
     else:
-        q = F.array(*[F.lit(float(v)) for v in query])
-        qn = sum(float(v) * float(v) for v in query) ** 0.5
-        cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+        cos = _exact_query_cosine(F.col(vec_col), query)
     scored = candidates.select(F.col(id_col), F.col("cell"),
                                cos.alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)) \

@@ -355,18 +355,22 @@ def hashed_bow_logit(docs: DataFrame, weights_tenths, bias_tenths: int = 0,
     no dimension-table join).  Word hashing reuses the engine-portable
     md5-15-hex trick (`sketches._hash60` semantics on the word string),
     so the exact same bucket assignment is reproducible in ANSI SQL."""
+    from .sketches import _hash60  # the ONE engine-portable hash
+
     D = len(weights_tenths)
     w_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_tenths])
     # stage the word array in its own projection (SPARK-35410: HOF
-    # expressions are never CSE'd)
+    # expressions are never CSE'd); NULL text coalesces to "" so a
+    # NULL-text doc scores the bare bias with a REAL keep verdict
+    # (split(NULL) would otherwise propagate NULL logit/keep, silently
+    # vanishing from any filter(keep) and diverging from the oracle's
+    # COALESCE)
     staged = docs.select(
         F.col(id_col),
-        F.filter(F.split(F.col(text_col), r"\s+"),
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
                  lambda w: w != "").alias("_ws"),
         w_lit.alias("_w"))
-    bucket = lambda w: F.pmod(  # noqa: E731 — local expression builder
-        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
-        F.lit(D))
+    bucket = lambda w: F.pmod(_hash60(w), F.lit(D))  # noqa: E731
     logit = (F.lit(int(bias_tenths)).cast("bigint")
              + F.aggregate(
                  F.transform(F.col("_ws"),

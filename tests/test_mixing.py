@@ -228,6 +228,22 @@ def test_stratified_exact_k_candidate_state_is_bounded(spark):
     assert got == want
 
 
+def test_stratified_exact_k_null_stratum_sampled(spark):
+    """A NULL stratum (undetected language) is a legitimate stratum: the
+    candidate-prefilter joins run null-safe, so NULL-stratum docs sample
+    exactly like any other — plain-equality joins would silently drop
+    them (verified regression)."""
+    rows = [(i, "en") for i in range(50)] + \
+           [(100 + i, None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+    got = {}
+    for r in mx.stratified_exact_k(docs, k=3, salt_partitions=4).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(got["en"]) == 3
+    assert len(got[None]) == 3
+    assert all(v >= 100 for v in got[None])
+
+
 def test_stratified_exact_k_under_sample_fallback_exact(spark):
     """The exactness guard: with candidate_factor=0 and k=100 the
     prefilter threshold admits only ~64 expected rows of the 3000-row

@@ -294,6 +294,33 @@ def test_embedding_near_dup_blas_kernel_tolerance_verified(spark):
     assert blas_split == set(exact)
 
 
+def test_embedding_near_dup_zero_norm_vector_excluded_not_fatal(spark):
+    """A zero-norm embedding (dead row, zeroed-out record) has undefined
+    cosine: both kernels must EXCLUDE its pairs — the exact kernel would
+    otherwise abort the whole job with an ANSI DIVIDE_BY_ZERO, and a
+    NaN from the blas kernel would PASS a >= threshold filter (Spark
+    orders NaN above every number).  Verified regression."""
+    emb = spark.createDataFrame(
+        [(0, "b", [1.0, 2.0, 3.0]),
+         (1, "b", [1.0, 2.0, 3.0]),      # exact dup of 0 → pair survives
+         (2, "b", [0.0, 0.0, 0.0])],     # zero norm → no pairs, no crash
+        "vec_id int, label string, embedding array<double>")
+    for kern in ("exact", "blas"):
+        pairs = {(r["a_id"], r["b_id"])
+                 for r in dd.embedding_near_dup_pairs(
+                     emb, threshold=0.9, kernel=kern).collect()}
+        assert pairs == {(0, 1)}, kern
+
+
+def test_embedding_near_dup_rejects_unknown_kernel(spark):
+    import pytest
+    emb = spark.createDataFrame([(0, "b", [1.0])],
+                                "vec_id int, label string, "
+                                "embedding array<double>")
+    with pytest.raises(ValueError, match="kernel"):
+        dd.embedding_near_dup_pairs(emb, kernel="BLAS")
+
+
 def test_embedding_hot_bucket_split_bounds_cell_size(spark):
     """With cap=8 the 40-row hot bucket splits into s=5 cells: the largest
     single join cell sees 40 (replicated a-side) x ~8 (b-side) candidates

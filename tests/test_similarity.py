@@ -315,7 +315,8 @@ def test_hashed_bow_logit_matches_hand_computation(spark):
     D = 16
     w = [((i * 5) % 11) - 5 for i in range(D)]
     docs = spark.createDataFrame(
-        [(0, "alpha beta alpha"), (1, ""), (2, "   "), (3, "gamma")],
+        [(0, "alpha beta alpha"), (1, ""), (2, "   "), (3, "gamma"),
+         (4, None)],
         "doc_id int, text string")
     got = {r["doc_id"]: (r["logit_tenths"], r["keep"])
            for r in ts2.hashed_bow_logit(docs, w, bias_tenths=2,
@@ -330,6 +331,9 @@ def test_hashed_bow_logit_matches_hand_computation(spark):
     assert got[1] == (2, 2 > 1)       # empty text: bias only
     assert got[2] == (2, True)        # whitespace-only: no words
     assert got[3] == (want3, want3 > 1)
+    # NULL text scores the bare bias with a REAL verdict — a NULL
+    # logit/keep would silently vanish from filter(keep) (regression)
+    assert got[4] == (2, True)
 
 
 def test_hashed_bow_logit_is_shuffle_free(spark):
