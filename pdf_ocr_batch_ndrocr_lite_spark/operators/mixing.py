@@ -88,6 +88,8 @@ def pack_sequences(docs: DataFrame, capacity: int,
     ``shard_buckets`` (default 64) composites the shard key to
     ``<shard_col>#<md5(id) % shard_buckets>`` — see the parallelism
     contract in the module comment; ``None`` uses `shard_col` alone."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive: got {capacity}")
     tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                              lambda w: w != "")).cast("bigint")
     if shard_buckets is None:

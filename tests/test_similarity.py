@@ -347,3 +347,58 @@ def test_hashed_bow_logit_is_shuffle_free(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_registrable_domain_randomized_vs_generic_psl_reference(spark):
+    """Differential test: 400 seeded random hosts through the Spark
+    expression vs an INDEPENDENT generic publicsuffix.org matcher (rule
+    iteration + most-labels precedence, not a transcription of the
+    when-chain).  Catches precedence and guard mistakes the hand-picked
+    cases miss."""
+    import random as _r
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+
+    rules = ([(s, "normal") for s in cu.PUBLIC_SUFFIXES_2L]
+             + [(s, "normal") for s in cu.PUBLIC_SUFFIXES_3L]
+             + [(s, "wild") for s in (cu.PSL_WILDCARD_BASES_1L
+                                      + cu.PSL_WILDCARD_BASES_2L
+                                      + cu.PSL_WILDCARD_BASES_3L)]
+             + [(s, "exc") for s in (cu.PSL_EXCEPTIONS_2L
+                                     + cu.PSL_EXCEPTIONS_3L)])
+
+    def generic_psl(host):
+        labels = host.split(".")
+        exc_ps = None
+        best_ps = 1  # the implicit '*' rule: the TLD is the suffix
+        for rule, kind in rules:
+            rl = rule.split(".")
+            if kind == "exc":
+                if len(labels) >= len(rl) and labels[-len(rl):] == rl:
+                    exc_ps = len(rl) - 1
+            elif kind == "wild":
+                if len(labels) >= len(rl) + 1 and labels[-len(rl):] == rl:
+                    best_ps = max(best_ps, len(rl) + 1)
+            else:
+                if len(labels) >= len(rl) and labels[-len(rl):] == rl:
+                    best_ps = max(best_ps, len(rl))
+        ps = exc_ps if exc_ps is not None else best_ps
+        if len(labels) <= ps:
+            return host  # host IS a public suffix: passthrough contract
+        return ".".join(labels[-(ps + 1):])
+
+    rng = _r.Random(20260817)
+    bases = ([s for s, _ in rules]
+             + ["com", "org", "jp", "ck", "us", "au", "example.org"])
+    heads = ["", "a", "www", "city", "sub", "shop", "x.y", "deep.sub"]
+    hosts = []
+    for _ in range(400):
+        head = rng.choice(heads)
+        base = rng.choice(bases)
+        hosts.append((head + "." + base if head else base).lower())
+    df = spark.createDataFrame([(f"https://{h}/p",) for h in hosts],
+                               "url string")
+    got = [r[0] for r in df.select(
+        cu.registrable_domain(F.col("url"))).collect()]
+    want = [generic_psl(h) for h in hosts]
+    assert got == want
