@@ -225,3 +225,54 @@ def stratified_exact_k(docs: DataFrame, k: int,
     return (merged.select(F.col(stratum_col),
                           F.explode("_top").alias("_s"))
             .select(stratum_col, F.col(f"_s.{id_col}").alias(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-token windows with overlap — the splitter that
+# feeds RAG indexes and long-document pretraining (cf. the context-window
+# chunkers in retrieval pipelines; `pack_sequences` ASSIGNS whole docs to
+# bins, this SPLITS a doc's token stream).  Entirely row-local: one word
+# split + one windows transform + one posexplode, zero shuffle — a 100 TB
+# corpus chunks at scan speed, parallelism = input splits.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
+                    overlap_tokens: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens): consecutive token windows of
+    `chunk_tokens` words at stride `chunk_tokens - overlap_tokens`; the
+    final window may be shorter (it keeps the tail, never pads).  Docs
+    with zero words (empty or NULL text) yield no chunks — the chunker
+    feeds an index/dataloader, and an empty chunk row is never wanted
+    there (unlike the curation verdict, where every doc needs a row).
+
+    Integer arithmetic only (window count via ceil-division in BIGINT),
+    so the DuckDB oracle reproduces the exact chunk set."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens): {overlap_tokens}")
+    stride = chunk_tokens - overlap_tokens
+    staged = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                 lambda w: w != "").alias("_ws"))
+    n = F.size("_ws")
+    # ceil((n - chunk) / stride) + 1 via integer floor-div; 1 when n <= chunk
+    n_chunks = F.when(
+        n <= F.lit(chunk_tokens), F.lit(1).cast("bigint")).otherwise(
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1))
+                / F.lit(stride)).cast("bigint") + F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda i: F.struct(
+            F.slice(F.col("_ws"), (i * stride + 1).cast("int"),
+                    chunk_tokens).alias("w")))
+    return (staged.filter(n > 0)
+            .select(F.col(id_col), F.posexplode(windows)
+                    .alias("chunk_id", "_c"))
+            .select(F.col(id_col), F.col("chunk_id").cast("int"),
+                    F.array_join(F.col("_c.w"), " ").alias("chunk_text"),
+                    F.size(F.col("_c.w")).cast("bigint").alias("n_tokens")))

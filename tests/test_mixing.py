@@ -279,3 +279,48 @@ def test_stratified_exact_k_under_sample_fallback_exact(spark):
             .filter(F.col("_rn") <= k).collect():
         want.setdefault(r["lang"], set()).add(r["doc_id"])
     assert got == want
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """42 words at chunk=16/overlap=4 (stride 12): starts 0,12,24,36 —
+    every token is covered, no fully-redundant window is emitted (40
+    words would stop at start 24, whose window already reaches token
+    39), and the last window keeps the 6-word tail; each chunk
+    reproduces the exact word slice; empty and NULL docs yield no
+    chunks."""
+    words = [f"w{i}" for i in range(42)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, ""), (2, None), (3, "a b")],
+        "doc_id int, text string")
+    out = mx.chunk_documents(docs, chunk_tokens=16, overlap_tokens=4)
+    rows = sorted(((r["doc_id"], r["chunk_id"], r["chunk_text"],
+                    r["n_tokens"]) for r in out.collect()))
+    got0 = [r for r in rows if r[0] == 0]
+    starts = [0, 12, 24, 36]
+    assert [r[1] for r in got0] == [0, 1, 2, 3]
+    for (_, cid, text, n), s in zip(got0, starts):
+        want = words[s:s + 16]
+        assert text == " ".join(want)
+        assert n == len(want)
+    assert got0[-1][3] == 6                      # tail chunk is short
+    # exactly-covered corpus emits no redundant trailing window
+    docs40 = spark.createDataFrame([(0, " ".join(words[:40]))],
+                                   "doc_id int, text string")
+    assert mx.chunk_documents(docs40, 16, 4).count() == 3
+    assert [r for r in rows if r[0] in (1, 2)] == []  # no empty chunks
+    assert [r for r in rows if r[0] == 3] == [(3, 0, "a b", 2)]
+
+
+def test_chunk_documents_is_shuffle_free_and_guarded(spark):
+    import pytest
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    plan = mx.chunk_documents(docs, 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        mx.chunk_documents(docs, 0)
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        mx.chunk_documents(docs, 8, overlap_tokens=8)
