@@ -128,10 +128,12 @@ def extract_raw_pdf(payload: bytes) -> Dict[str, Any]:
 
 
 def extract_image(payload: bytes) -> Dict[str, Any]:
-    """Image route (S4): parse dimensions + density from the JPEG/PNG
-    headers, normalize DPI through the reference's accepted range
-    (app.py:1470-1520, 3911-3918), and route to OCR — images never carry a
-    text layer, so the reference sends every readable image onward.
+    """Image route (S4): parse dimensions + density from the format
+    header (JPEG SOF/JFIF, PNG IHDR/pHYs, BMP BITMAPINFOHEADER, TIFF
+    IFD, WebP VP8*/VP8X — the reference's full whitelist,
+    app.py:101-102), normalize DPI through the accepted range
+    (app.py:1470-1520, 3911-3918), and route to OCR — images never carry
+    a text layer, so the reference sends every readable image onward.
     Structurally unreadable image bytes → parse_failure."""
     try:
         image_meta.prepare_image(payload)
@@ -164,8 +166,10 @@ def extract_one(url: str, payload: bytes, lang: str) -> Dict[str, Any]:
         if head.startswith(b"%PDF-"):
             kind = "rawpdf"
             out = extract_raw_pdf(bytes(payload))
-        elif bytes(payload[:2]) == b"\xff\xd8" \
-                or bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        elif image_meta.sniff_image(bytes(payload[:18])) is not None:
+            # full reference whitelist: jpeg/png/bmp/tiff/webp
+            # (app.py:101-102) — anything the sniff accepts routes to
+            # the image path, never to the HTML extractor
             kind = "image"
             out = extract_image(bytes(payload))
         elif head.startswith(b"{"):

@@ -315,19 +315,35 @@ IMAGE_SLOT = 5
 
 
 def _make_image(rng: random.Random) -> bytes:
+    """One image payload over the reference's FULL whitelist
+    (app.py:101-102: jpeg/png/bmp/tif/tiff/webp) with the density-metadata
+    edge cases each format actually has."""
     w = 200 + rng.randrange(1200)
     h = 200 + rng.randrange(1600)
     r = rng.random()
-    if r < 0.35:
+    if r < 0.20:
         return image_meta.make_fake_jpeg(w, h, dpi=rng.choice([72, 96, 300]))
-    if r < 0.55:
+    if r < 0.32:
         return image_meta.make_fake_jpeg(w, h)           # no density → 150
-    if r < 0.70:
+    if r < 0.42:
         return image_meta.make_fake_jpeg(w, h, dpi=118, units=2)  # dpcm
-    if r < 0.85:
+    if r < 0.54:
         return image_meta.make_fake_png(w, h, dpi=300.0)
-    if r < 0.95:
+    if r < 0.62:
         return image_meta.make_fake_png(w, h)            # no pHYs → 150
+    if r < 0.70:
+        return image_meta.make_fake_bmp(w, h, dpi=96,
+                                        top_down=rng.random() < 0.3)
+    if r < 0.76:
+        return image_meta.make_fake_bmp(w, h)            # ppm 0 → 150
+    if r < 0.83:
+        return image_meta.make_fake_tiff(w, h, dpi=200, unit=2,
+                                         big_endian=rng.random() < 0.5)
+    if r < 0.88:
+        return image_meta.make_fake_tiff(w, h, dpi=127.0, unit=3)  # per-cm
+    if r < 0.95:
+        return image_meta.make_fake_webp(
+            w, h, variant=rng.choice(["vp8", "vp8l", "vp8x"]))
     return image_meta.make_fake_jpeg(w, h)[:6]           # truncated fetch
 
 
