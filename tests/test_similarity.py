@@ -194,8 +194,8 @@ def test_registrable_domain_psl_rules(spark):
         ("HTTPS://WWW.Site.CO.UK/p", "site.co.uk"),  # case-folded host
     ]
     df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
-    got = [r[0] for r in df.select(
-        cu.registrable_domain(F.col("url"))).collect()]
+    got = [r["domain"] for r in
+           cu.with_registrable_domain(df, "url", "domain").collect()]
     assert got == [want for _, want in urls]
 
 
@@ -233,8 +233,8 @@ def test_registrable_domain_wildcard_and_exception_rules(spark):
         ("https://a.kawasaki.jp/p", "a.kawasaki.jp"),  # == wildcard suffix
     ]
     df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
-    got = [r[0] for r in df.select(
-        cu.registrable_domain(F.col("url"))).collect()]
+    got = [r["domain"] for r in
+           cu.with_registrable_domain(df, "url", "domain").collect()]
     assert got == [want for _, want in urls]
 
 
@@ -359,11 +359,15 @@ def test_registrable_domain_randomized_vs_generic_psl_reference(spark):
 
     from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
 
-    rules = ([(s, "normal") for s in cu.PUBLIC_SUFFIXES_2L]
-             + [(s, "normal") for s in cu.PUBLIC_SUFFIXES_3L]
+    rules = ([(s, "normal") for s in (cu.PUBLIC_SUFFIXES_1L
+                                      + cu.PUBLIC_SUFFIXES_2L
+                                      + cu.PUBLIC_SUFFIXES_3L
+                                      + cu.PUBLIC_SUFFIXES_4L
+                                      + cu.PUBLIC_SUFFIXES_5L)]
              + [(s, "wild") for s in (cu.PSL_WILDCARD_BASES_1L
                                       + cu.PSL_WILDCARD_BASES_2L
-                                      + cu.PSL_WILDCARD_BASES_3L)]
+                                      + cu.PSL_WILDCARD_BASES_3L
+                                      + cu.PSL_WILDCARD_BASES_4L)]
              + [(s, "exc") for s in (cu.PSL_EXCEPTIONS_2L
                                      + cu.PSL_EXCEPTIONS_3L)])
 
@@ -398,7 +402,7 @@ def test_registrable_domain_randomized_vs_generic_psl_reference(spark):
         hosts.append((head + "." + base if head else base).lower())
     df = spark.createDataFrame([(f"https://{h}/p",) for h in hosts],
                                "url string")
-    got = [r[0] for r in df.select(
-        cu.registrable_domain(F.col("url"))).collect()]
+    got = [r["domain"] for r in
+           cu.with_registrable_domain(df, "url", "domain").collect()]
     want = [generic_psl(h) for h in hosts]
     assert got == want
