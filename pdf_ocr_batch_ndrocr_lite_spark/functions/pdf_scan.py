@@ -827,6 +827,32 @@ _CID_BYTE_CODEC_ENCODINGS = {
     b"KSCms-UHC-H": "cp949", b"KSCms-UHC-V": "cp949",
 }
 
+# Post-decode divergence fixups: where a stdlib codec's Unicode choice
+# differs from the Adobe CMap chain (predefined CMap → registry CID →
+# Adobe-*-UCS2), translate to the Adobe value so a ToUnicode-less decode
+# matches what pypdf (which carries Adobe's actual CMap tables,
+# reference app.py:1202-1223) would produce.  The only well-documented
+# set is Microsoft cp932 vs JIS X 0208: cp932 maps six punctuation codes
+# to their "fullwidth" compatibility characters, while Adobe's
+# 90ms-RKSJ CMaps map those same Shift-JIS codes to CIDs whose
+# Adobe-Japan1-UCS2 values are the JIS-standard code points
+# (0x8160 wave dash, 0x8161 double vertical line, 0x817C minus sign,
+# 0x8191 cent, 0x8192 pound, 0x81CA not sign).  Python's euc_jp codec
+# already makes the JIS-side choice, so only the cp932-space registries
+# need the translation; no equivalently-documented divergence list
+# exists for the GBK/Big5/UHC registries, so those decode as their
+# codecs define (measured-parity position, not a silent guess).
+_CID_CODEC_FIXUPS = {
+    "cp932": str.maketrans({
+        "～": "〜",   # FULLWIDTH TILDE   → WAVE DASH
+        "∥": "‖",   # PARALLEL TO       → DOUBLE VERTICAL LINE
+        "－": "−",   # FULLWIDTH HYPHEN-MINUS → MINUS SIGN
+        "￠": "¢",   # FULLWIDTH CENT    → CENT SIGN
+        "￡": "£",   # FULLWIDTH POUND   → POUND SIGN
+        "￢": "¬",   # FULLWIDTH NOT     → NOT SIGN
+    }),
+}
+
 
 class PageScan:
     __slots__ = ("content", "fonts", "warnings")
@@ -1254,8 +1280,13 @@ def _decode_shown(raw: bytes, font: Optional[FontInfo]) -> Optional[str]:
                 # legacy CMap whose code space IS a standard encoding
                 # (RKSJ=Shift-JIS, EUC, GBK, Big5, EUC-KR): the show
                 # bytes decode whole-string through the stdlib codec —
-                # variable-length, so no fixed 2-byte walk
-                return raw.decode(font.byte_codec, errors="replace")
+                # variable-length, so no fixed 2-byte walk — then through
+                # the codec's Adobe-divergence fixup (cp932's six
+                # fullwidth-compat punctuation points → the JIS-standard
+                # values Adobe's CMap chain produces)
+                text = raw.decode(font.byte_codec, errors="replace")
+                fix = _CID_CODEC_FIXUPS.get(font.byte_codec)
+                return text.translate(fix) if fix else text
             return "�" * (len(raw) // 2)
         cmap = font.cmap
         # per-code fallback for codes the /ToUnicode CMap misses: the

@@ -762,6 +762,37 @@ def test_rksj_mixed_width_shift_jis_decodes():
     assert ps.extract_text_layer(scan.content, scan.fonts) == text
 
 
+def test_rksj_divergent_punctuation_decodes_the_adobe_way():
+    """The six Shift-JIS codes where Microsoft cp932 and Adobe's
+    90ms-RKSJ CMap chain disagree (0x8160 wave dash, 0x8161 double
+    vertical line, 0x817C minus, 0x8191 cent, 0x8192 pound, 0x81CA not
+    sign): the scanner must emit the JIS-standard values pypdf's
+    Adobe-Japan1-UCS2 tables produce, not cp932's fullwidth-compat
+    forms.  The writer encodes the Microsoft-side code points (cp932 is
+    its emitter), so the show string carries exactly those bytes."""
+    ms_side = "～∥－￠￡￢"           # U+FF5E U+2225 U+FF0D U+FFE0 U+FFE1 U+FFE2
+    adobe_side = "〜‖−¢£¬"          # U+301C U+2016 U+2212 U+00A2 U+00A3 U+00AC
+    pdf = pm.build_glyph_pdf("cid_rksj", [ord(c) for c in ms_side])
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    assert scan.warnings == 0
+    assert ps.extract_text_layer(scan.content, scan.fonts) == adobe_side
+    assert ps.count_text_chars(scan.content, scan.fonts) == len(adobe_side)
+    # the encoder really produced the divergent SJIS code for the first
+    # character (0x8160; the literal writer may octal-escape the bytes)
+    assert "～".encode("cp932") == b"\x81\x60"
+
+
+def test_rksj_divergence_fixup_leaves_ordinary_text_alone():
+    """Katakana/kanji and ASCII around a divergent code pass through
+    unchanged — the translate table touches only the six points."""
+    pdf = pm.build_glyph_pdf(
+        "cid_rksj", [ord(c) for c in "abc日本～ｱｲ"])
+    doc = ps.scan_document(pdf)
+    scan = doc.pages[0]
+    assert ps.extract_text_layer(scan.content, scan.fonts) == "abc日本〜ｱｲ"
+
+
 def test_unknown_cid_registry_without_tounicode_surfaces_warning():
     """A registry in NO table (unknown name, would need the real Adobe
     CMap data) still degrades to U+FFFD — the char COUNT stays right
