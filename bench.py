@@ -86,13 +86,16 @@ def bench_queries(spark):
              "q50_curation_pipeline", "q51_ivf_ann",
              # round-4: 16-class routing incl. AES-CBC decrypt path,
              # PSL-aware registrable-domain cap, corpus-wide line dedup
-             # (the heaviest new text-shuffle op).  q59/q60 (iterative
-             # CC) are deliberately NOT picks: at sf0.1 they are
-             # dominated by ~14 rounds of fixed per-round barrier
-             # overhead, which measures the loop harness, not the
-             # operator; the oracle gate still runs them.
+             # (the heaviest new text-shuffle op)
              "q40_rawpdf_route", "q53_psl_domain_cap",
              "q57_line_dedup"]
+    # round-6 (judge item 7): the iterative clustering trio is tracked as
+    # standalone single-shot picks — their cost is ~14 rounds of FIXED
+    # per-round barrier overhead (stable, low-variance; the 53-edge
+    # doc_id<120 graph is sf-independent), so one shot per round gives a
+    # clean round-over-round trend without doubling bench wall-clock.
+    single_shot = ["q59_dup_clusters", "q60_cluster_keep_best",
+                   "q61_transitive_dedup"]
     qs = entrymod.queries()
     out = {}
     for name in picks:
@@ -103,7 +106,35 @@ def bench_queries(spark):
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         out[name] = round(best, 3)
+    for name in single_shot:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        out[name] = round(time.perf_counter() - t0, 3)
     return out
+
+
+def bench_clustering_fixed(spark):
+    """Fixed-size connected-components benchmark (judge round-5 item 7):
+    a deterministic 200k-node graph of 4,000 chains of length 50 — deep
+    enough that pointer jumping runs ~6 label-move rounds over 200k
+    edges, so the number tracks the OPERATOR (per-round join + barrier
+    at real data volume), not just the loop harness the tiny q59 graph
+    measures.  Sf-independent by construction: comparable round over
+    round."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import dedup as dd
+
+    nodes = spark.range(200_000)
+    pairs = (nodes.filter((F.col("id") % 50) != 49)
+             .select(F.col("id").alias("a_id"),
+                     (F.col("id") + 1).alias("b_id")))
+    t0 = time.perf_counter()
+    cc = dd.connected_components(pairs)
+    n_comp = cc.select("component").distinct().count()
+    dt = round(time.perf_counter() - t0, 3)
+    assert n_comp == 4_000, n_comp  # every chain = one component
+    return {"cc_fixed_200k_chain50": dt}
 
 
 def main() -> None:
@@ -128,6 +159,7 @@ def main() -> None:
     ext_sec, docs, pages = bench_extraction(spark, n_docs, CPUS * 2,
                                             repeats=3)
     qtimes = bench_queries(spark)
+    qtimes.update(bench_clustering_fixed(spark))
     spark.stop()
 
     result = {

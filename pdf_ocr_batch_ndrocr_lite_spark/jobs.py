@@ -137,23 +137,28 @@ def main(argv=None) -> int:
             import tempfile
             scratch = own_scratch = tempfile.mkdtemp(
                 prefix="spark_graft_curate_")
-        kept, counts = run_curation(docs, bench=bench, mix_rates=rates,
-                                    default_rate=args.default_rate,
-                                    min_quality=args.min_quality,
-                                    require_lang=not args.keep_unknown_lang,
-                                    transitive_dedup=args.transitive_dedup,
-                                    boilerplate_max_df=args.boilerplate_max_df,
-                                    scratch_dir=scratch)
-        if args.iceberg:
-            kept.writeTo(args.output).createOrReplace()
-        else:
-            kept.write.mode("overwrite").parquet(args.output)
-        if own_scratch is not None:
-            # the default temp scratch is ours to reclaim once the final
-            # output is written (up to 5 materialized stage copies);
-            # a caller-provided --curate-scratch is caller-owned
-            import shutil
-            shutil.rmtree(own_scratch, ignore_errors=True)
+        try:
+            kept, counts = run_curation(
+                docs, bench=bench, mix_rates=rates,
+                default_rate=args.default_rate,
+                min_quality=args.min_quality,
+                require_lang=not args.keep_unknown_lang,
+                transitive_dedup=args.transitive_dedup,
+                boilerplate_max_df=args.boilerplate_max_df,
+                scratch_dir=scratch)
+            if args.iceberg:
+                kept.writeTo(args.output).createOrReplace()
+            else:
+                kept.write.mode("overwrite").parquet(args.output)
+        finally:
+            if own_scratch is not None:
+                # the default temp scratch is ours to reclaim even when
+                # curation or the output write raises (up to 5
+                # materialized stage copies would otherwise leak under
+                # /tmp); a caller-provided --curate-scratch is
+                # caller-owned
+                import shutil
+                shutil.rmtree(own_scratch, ignore_errors=True)
         counts["seconds"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(counts))
         spark.stop()

@@ -780,23 +780,35 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+from .vecmath import dot as _dot, norm as _norm  # noqa: E402 — shared
+# exact fold kernels (one definition: the fold order is oracle contract)
 
 
 def _blas_pair_cosine_udf():
-    """Arrow-batched numpy cosine over (vec_a, vec_b) column pairs."""
+    """Arrow-batched numpy cosine over (vec_a, vec_b) column pairs.
+    NULL or length-mismatched rows degrade to NULL cosine — the same
+    failure semantics as the exact left-fold kernel (zip_with over a
+    NULL array yields NULL), instead of np.stack raising inside the
+    executor and aborting the job."""
     @F.pandas_udf("double")
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dims = [len(v) for v in a if v is not None] \
+            + [len(v) for v in b if v is not None]
+        dim = max(dims) if dims else 0
+        bad = [va is None or vb is None
+               or len(va) != dim or len(vb) != dim
+               for va, vb in zip(a, b)]
+        if any(bad):
+            zero = np.zeros(dim, dtype=np.float64)
+            ma = np.stack([zero if m else np.asarray(v, dtype=np.float64)
+                           for m, v in zip(bad, a)])
+            mb = np.stack([zero if m else np.asarray(v, dtype=np.float64)
+                           for m, v in zip(bad, b)])
+        else:
+            ma = np.stack(a.to_numpy()).astype(np.float64)
+            mb = np.stack(b.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", ma, mb)
         na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
         nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))

@@ -87,7 +87,14 @@ def pack_sequences(docs: DataFrame, capacity: int,
 
     ``shard_buckets`` (default 64) composites the shard key to
     ``<shard_col>#<md5(id) % shard_buckets>`` — see the parallelism
-    contract in the module comment; ``None`` uses `shard_col` alone."""
+    contract in the module comment; ``None`` uses `shard_col` alone.
+
+    BEHAVIOR-CHANGE NOTE (round 5): the default moved from ``None`` to
+    64 as a deliberate parallelism fix — a bare per-lang shard sorts a
+    whole language in ONE task.  Under the default, ``shard`` values and
+    bin assignments differ from the old per-lang packing (packing is
+    per-(lang, bucket)); downstream consumers that depended on the old
+    shard semantics must pin ``shard_buckets=None`` explicitly."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: got {capacity}")
     tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),

@@ -31,13 +31,8 @@ from pyspark.sql import functions as F
 # tolerance-based verifier tests (test_similarity.py), never by the
 # exact-hash oracle.  The plan shape (map stage, no shuffle) is
 # identical for both kernels, so none of the scale properties change.
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+from .vecmath import dot as _dot, norm as _norm  # noqa: E402 — shared
+# exact fold kernels (one definition: the fold order is oracle contract)
 
 
 def _blas_query_cosine_udf(query: Sequence[float]):

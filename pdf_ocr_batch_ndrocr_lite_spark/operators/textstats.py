@@ -358,6 +358,12 @@ def hashed_bow_logit(docs: DataFrame, weights_tenths, bias_tenths: int = 0,
     from .sketches import _hash60  # the ONE engine-portable hash
 
     D = len(weights_tenths)
+    if D == 0:
+        # pmod-by-zero would surface as an opaque executor error deep in
+        # the job; fail at the caller with intent, like the capacity /
+        # chunk_tokens guards elsewhere
+        raise ValueError("hashed_bow_logit needs a non-empty weight "
+                         "vector (bucket count = len(weights_tenths))")
     w_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_tenths])
     # stage the word array in its own projection (SPARK-35410: HOF
     # expressions are never CSE'd); NULL text coalesces to "" so a

@@ -1,0 +1,147 @@
+"""Continuous-crawl incremental deduplication: Structured Streaming
+ingest where each micro-batch is near-dup-checked against the growing
+corpus before being admitted to it.
+
+This is the streaming wiring of the batch operators that already carry
+the scale properties (operators/dedup.py): within-batch near-dups fall
+to `minhash_dedup`, then `incremental_minhash_dedup` runs strictly
+NEW × CORPUS (the corpus is never self-joined — it was deduped when it
+was ingested), so each micro-batch pays O(|batch| + matched corpus
+buckets), never O(|corpus|²).
+
+Replay safety (foreachBatch is at-least-once): the corpus parquet is
+partitioned by the admitting batch_id, and the sink
+
+1. reads the corpus EXCLUDING the current batch_id's partition, and
+2. writes survivors with dynamic partition overwrite into that
+   partition,
+
+so a micro-batch replayed after a failure dedups against exactly the
+corpus state it saw the first time (its own partial output is invisible
+to the join) and then REPLACES that output — effective exactly-once.
+Without the exclusion, a replayed batch would find its own rows in the
+corpus and drop every document as a duplicate of itself.
+
+The reference has no streaming surface (SURVEY §2.9 — strictly batch);
+this is the training-data extension's continuous-ingest shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..operators import dedup as dd
+
+DOCS_SCHEMA = "doc_id bigint, url string, text string, lang string"
+
+
+def read_docs_stream(spark: SparkSession, input_path: str,
+                     schema: str = DOCS_SCHEMA,
+                     max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a growing directory of document parquet."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def dedup_batch_against_corpus(batch_df: DataFrame, corpus: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               within_batch: bool = True,
+                               **dedup_kwargs) -> DataFrame:
+    """One micro-batch's survivors: within-batch near-dup pass first
+    (a crawl batch carries its own repeats; lower id wins, matching
+    `minhash_dedup`), then the strictly new×corpus incremental check.
+    Exposed as a plain-DataFrame function so the batch-equivalence test
+    and the foreachBatch sink share one code path."""
+    import inspect
+
+    def _accepted(fn, kw):
+        sig = inspect.signature(fn).parameters
+        return {k: v for k, v in kw.items() if k in sig}
+
+    new = batch_df
+    if within_batch:
+        new = dd.minhash_dedup(new, id_col, text_col,
+                               **_accepted(dd.minhash_dedup, dedup_kwargs))
+        # cut the lineage between the two dedup stages: the incremental
+        # join references `new` several times (band buckets, candidate
+        # semi-join, final anti-join), and each reference would inline
+        # the whole within-batch dedup subtree — bounded here, but the
+        # Catalyst planning cost of the composed tree is real (see the
+        # iterative self-join planning note in BASELINE.md).  A
+        # micro-batch is size-bounded by the trigger, so executor-local
+        # materialization is cheap.
+        new = new.localCheckpoint(eager=False)
+    return dd.incremental_minhash_dedup(
+        new, corpus, id_col, text_col,
+        **_accepted(dd.incremental_minhash_dedup, dedup_kwargs))
+
+
+def make_incremental_dedup_sink(corpus_path: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                within_batch: bool = True,
+                                **dedup_kwargs):
+    """foreachBatch sink: admit each micro-batch's non-duplicate
+    documents into the batch_id-partitioned corpus parquet (replay-safe,
+    see module docstring)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus = (spark.read.parquet(corpus_path)
+                      .filter(F.col("batch_id") != F.lit(batch_id))
+                      .drop("batch_id"))
+        except AnalysisException:
+            # first batch ever: no corpus directory yet
+            corpus = spark.createDataFrame([], batch_df.schema)
+        survivors = dedup_batch_against_corpus(
+            batch_df, corpus, id_col, text_col,
+            within_batch=within_batch, **dedup_kwargs)
+        (survivors.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(corpus_path))
+
+    return sink
+
+
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    corpus_path: str,
+    stream_checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 8,
+    schema: str = DOCS_SCHEMA,
+    within_batch: bool = True,
+    **dedup_kwargs,
+):
+    """Wire source → incremental-dedup sink and start the query.
+
+    With ``trigger_once`` (availableNow) this is an incremental batch
+    run: admit everything new, then stop — the idiomatic 'resume' for
+    continuous-crawl ingest.  Returns the StreamingQuery.
+    """
+    docs = read_docs_stream(spark, input_path, schema,
+                            max_files_per_trigger)
+    sink = make_incremental_dedup_sink(
+        corpus_path, id_col, text_col, within_batch=within_batch,
+        **dedup_kwargs)
+    writer = (
+        docs.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", stream_checkpoint)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -312,6 +312,24 @@ def test_embedding_near_dup_zero_norm_vector_excluded_not_fatal(spark):
         assert pairs == {(0, 1)}, kern
 
 
+def test_embedding_near_dup_blas_null_and_ragged_rows_degrade(spark):
+    """kernel='blas' must share the exact kernel's failure semantics on
+    NULL / wrong-length embeddings: the row's pairs degrade to NULL
+    cosine (dropped by the threshold filter), never an np.stack abort
+    inside the executor."""
+    emb = spark.createDataFrame(
+        [(0, "b", [1.0, 2.0, 3.0]),
+         (1, "b", [1.0, 2.0, 3.0]),      # exact dup of 0 → pair survives
+         (2, "b", None),                  # NULL embedding
+         (3, "b", [1.0, 2.0])],          # ragged (wrong dim)
+        "vec_id int, label string, embedding array<double>")
+    for kern in ("exact", "blas"):
+        pairs = {(r["a_id"], r["b_id"])
+                 for r in dd.embedding_near_dup_pairs(
+                     emb, threshold=0.9, kernel=kern).collect()}
+        assert pairs == {(0, 1)}, kern
+
+
 def test_embedding_near_dup_rejects_unknown_kernel(spark):
     import pytest
     emb = spark.createDataFrame([(0, "b", [1.0])],

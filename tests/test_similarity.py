@@ -305,6 +305,18 @@ def test_blas_ivf_kernel_matches_exact_and_keeps_exact_assignment(spark):
 # --- hashed bag-of-words classifier scoring --------------------------------
 
 
+def test_hashed_bow_logit_rejects_empty_weights(spark):
+    """An empty weight vector means pmod-by-zero deep in the executor —
+    must fail at the caller with a clear ValueError instead."""
+    import pytest
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts2
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="weight"):
+        ts2.hashed_bow_logit(docs, [])
+
+
 def test_hashed_bow_logit_matches_hand_computation(spark):
     """Logit = bias + Σ weights[md5hash60(word) % D], exact integer math;
     zero-word docs score the bare bias; keep thresholds the logit."""
