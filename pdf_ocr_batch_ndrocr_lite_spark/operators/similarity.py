@@ -179,6 +179,70 @@ def ivf_assign(emb: DataFrame, centroids: List[Sequence[float]],
     return emb.select(F.col(id_col), cell.alias("cell"))
 
 
+def kmeans_fit(emb: DataFrame, k: int = 3, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> List[List[float]]:
+    """Train the IVF coarse quantizer: Lloyd's k-means over the
+    embedding column, returning `k` centroids for
+    :func:`ivf_assign` / :func:`ivf_topk` (previously the caller had to
+    supply centroids from elsewhere).
+
+    Scale/determinism design:
+
+    - Deterministic init: the `k` lowest-id vectors (no RNG — the same
+      corpus always trains the same index).
+    - Centroids live on the DRIVER between rounds (k × dim floats —
+      bytes, not data), entering each round as literals: every round's
+      plan is scan → one fused assign+sum aggregation, with NO
+      iterative self-join and no lineage growth (the planning-explosion
+      trap connected_components had to barrier around simply never
+      arises).
+    - Each round is ONE job: cell assignment (the same left-fold
+      squared-L2 + first-minimum rule as `ivf_assign`) fused with
+      per-cell per-dimension sums in a single groupBy — k rows come
+      back, nothing else.
+    - Per-dimension sums accumulate in DECIMAL(38,12): decimal addition
+      is order-independent, so the trained centroids are bit-stable
+      under any partitioning (a double sum would drift with task
+      scheduling and flip boundary assignments); the single
+      decimal→double + divide per centroid element is reproducible IEEE
+      (and is exactly what the q72 oracle recomputes).
+    - An empty cell keeps its previous centroid (deterministic; no
+      re-seeding RNG).
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError(f"k must be positive, iters >= 0: {k=}, {iters=}")
+    seed_rows = emb.select(F.col(id_col), F.col(vec_col)) \
+        .orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+        # stage the distance array: it is referenced twice (min +
+        # position) and HOF expressions are never CSE'd (SPARK-35410)
+        staged = emb.select(F.col(vec_col).alias("_v"),
+                            dists.alias("_d"))
+        cell = (F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+                - 1).cast("int")
+        agg = (staged.select(cell.alias("cell"), "_v")
+               .groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    *[F.sum(F.element_at("_v", i + 1).cast("double")
+                            .cast("decimal(38,12)")).alias(f"_s{i}")
+                      for i in range(dim)])
+               .collect())
+        by_cell = {int(r["cell"]): r for r in agg if r["cell"] is not None}
+        centroids = [
+            [float(by_cell[j][f"_s{i}"]) / int(by_cell[j]["_n"])
+             for i in range(dim)]
+            if j in by_cell else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
+
+
 def query_probe_cells(query: Sequence[float],
                       centroids: List[Sequence[float]],
                       nprobe: int = 2) -> List[int]:

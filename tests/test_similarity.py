@@ -179,6 +179,69 @@ def test_ivf_assignment_and_probe_recall(spark):
     assert {r["vec_id"] % 3 for r in one} == {0}
 
 
+def test_kmeans_fit_recovers_separable_clusters(spark):
+    """Three tight clusters around distinct corners: two Lloyd rounds
+    from lowest-id init must land one centroid per cluster and the final
+    assignment must equal the generating cluster."""
+    import random as _r
+    rng = _r.Random(7)
+    corners = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(90):
+        c = corners[i % 3]
+        rows.append((i, [v + rng.gauss(0, 0.2) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = sim.kmeans_fit(emb, k=3, iters=2)
+    assert len(cents) == 3 and len(cents[0]) == 3
+    # each trained centroid sits near a distinct corner
+    owners = {max(range(3), key=lambda d: c[d]) for c in cents}
+    assert owners == {0, 1, 2}
+    got = {r["vec_id"]: r["cell"]
+           for r in sim.ivf_assign(emb, cents).collect()}
+    # assignment must be constant within each generating cluster
+    for base in range(3):
+        cells = {got[i] for i in range(base, 90, 3)}
+        assert len(cells) == 1, (base, cells)
+
+
+def test_kmeans_fit_deterministic_under_partitioning(spark):
+    """Decimal accumulation makes the trained centroids bit-identical
+    regardless of partition layout (a double sum would drift)."""
+    rows = [(i, [((i * 7 + j * 13) % 97) / 97.0 for j in range(8)])
+            for i in range(200)]
+    emb1 = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    c1 = sim.kmeans_fit(emb1.repartition(1), k=4, iters=2)
+    c2 = sim.kmeans_fit(emb1.repartition(13), k=4, iters=2)
+    assert c1 == c2
+
+
+def test_kmeans_fit_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that captures no points keeps its coordinates instead
+    of crashing or going NaN (deterministic, no re-seeding)."""
+    # two real clusters, k=3: the two far-apart seeds win everything,
+    # the middle seed (vec 0's twin region) may empty out depending on
+    # geometry — force it: three identical low-id seeds, so seeds 1,2
+    # start dead on seed 0's point and lose every assignment tie
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])] + \
+        [(i, [5.0 + (i % 3) * 0.01, 5.0]) for i in range(3, 40)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = sim.kmeans_fit(emb, k=3, iters=2)
+    assert all(all(v == v for v in c) for c in cents)  # no NaN
+    # ties assign to the FIRST minimum cell, so cells 1 and 2 are empty
+    # and keep their (identical) seed coordinates
+    assert cents[1] == cents[2] == [0.0, 0.0]
+
+
+def test_kmeans_fit_validates_inputs(spark):
+    import pytest
+    emb = spark.createDataFrame([(0, [1.0])],
+                                "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        sim.kmeans_fit(emb, k=0)
+    with pytest.raises(ValueError, match="at least k"):
+        sim.kmeans_fit(emb, k=5)
+
+
 def test_registrable_domain_psl_rules(spark):
     from pyspark.sql import functions as F
 

@@ -76,7 +76,7 @@ def table_to_multiset(tbl):
     return names, fams, rows
 
 
-def main(only=None):
+def main(only=None, json_out=None):
     import __spark_entry__ as entrymod
     from pdf_ocr_batch_ndrocr_lite_spark.plans.pipeline import build_session
 
@@ -91,6 +91,18 @@ def main(only=None):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        # the driver's CORRECTNESS_r{N}.json schema, so rounds can be
+        # diffed without re-running the gate
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -99,38 +111,54 @@ def main(only=None):
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL] {name}: spark error {e}")
+            record(name, False, False, False, 0, 0, f"spark: {e}")
             continue
         if name not in oracles:
             print(f"[rows] {name}: {stbl.num_rows} rows (no oracle)")
+            record(name, stbl.num_rows >= 0, True, None,
+                   stbl.num_rows, None, None)
             continue
         try:
             otbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL] {name}: duckdb error {e}")
+            record(name, False, False, False, stbl.num_rows, 0,
+                   f"duckdb: {e}")
             continue
         sc, sf_, sm = table_to_multiset(stbl)
         oc, of_, om = table_to_multiset(otbl)
         if sc != oc:
             failures.append((name, f"columns {sc} != {oc}"))
             print(f"[FAIL] {name}: columns {sc} vs {oc}")
+            record(name, len(sm) == len(om), False, False,
+                   len(sm), len(om), None)
             continue
         if sf_ != of_:
             bad = [(c, a, b) for c, a, b in zip(sc, sf_, of_) if a != b]
             failures.append((name, f"arrow types differ: {bad}"))
             print(f"[FAIL] {name}: arrow types differ {bad}")
+            record(name, len(sm) == len(om), False, False,
+                   len(sm), len(om), None)
             continue
         if len(sm) != len(om):
             failures.append((name, f"rowcount {len(sm)} != {len(om)}"))
             print(f"[FAIL] {name}: rowcount {len(sm)} vs {len(om)}")
+            record(name, False, True, False, len(sm), len(om), None)
             continue
         if sm != om:
             diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
             failures.append((name, f"values differ, e.g. {diff}"))
             print(f"[FAIL] {name}: values differ e.g. {diff}")
+            record(name, True, True, False, len(sm), len(om), None)
             continue
         print(f"[ OK ] {name}: {len(sm)} rows")
+        record(name, True, True, True, len(sm), len(om), None)
     spark.stop()
+    if json_out:
+        import json as _json
+        Path(json_out).write_text(_json.dumps(report, indent=2) + "\n")
+        print(f"wrote {len(report)} entries -> {json_out}")
     if failures:
         print(f"\n{len(failures)} FAILURES")
         sys.exit(1)
@@ -138,4 +166,10 @@ def main(only=None):
 
 
 if __name__ == "__main__":
-    main(set(sys.argv[1:]) or None)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    main(set(args) or None, json_out=json_out)
