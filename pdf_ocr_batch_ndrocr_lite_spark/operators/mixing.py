@@ -149,6 +149,63 @@ def stratified_sample(docs: DataFrame, rates: dict,
     return docs.filter(bucket < threshold)
 
 
+def temperature_rates(docs: DataFrame, stratum_col: str = "lang",
+                      alpha: float = 0.5,
+                      target_frac: float = 0.5) -> dict:
+    """Per-stratum keep rates for temperature-resampled mixing — the
+    multilingual alpha-sampling of XLM-R/mT5: a stratum with corpus
+    share p_l gets target mass q_l ∝ p_l^alpha (alpha < 1 upsamples the
+    tail languages relative to their share), scaled so the expected
+    kept volume is ``target_frac`` of the corpus, capped at keeping a
+    stratum wholesale.
+
+    Driver-side arithmetic over the exact integer stratum counts (one
+    combining count agg — the only job), in a FIXED order so the rates
+    are engine-reproducible: powers via math.sqrt when alpha == 0.5
+    (sqrt is correctly-rounded IEEE everywhere; a general libm pow()
+    is not), the normalizer accumulated left-to-right over strata
+    sorted by value, and the rate expression evaluated as
+    ``((target_frac * q_l) * N) / n_l``.  The q73 oracle replays every
+    one of those ops in the same order.
+
+    Feed the result straight to :func:`stratified_sample` (or use
+    :func:`temperature_sample`)."""
+    import math
+
+    counts = {r[stratum_col]: r["n"] for r in
+              docs.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()
+              if r[stratum_col] is not None}
+    total = sum(counts.values())
+    if not total:
+        return {}
+    powered = {}
+    for stratum in sorted(counts):
+        p = counts[stratum] / total
+        powered[stratum] = math.sqrt(p) if alpha == 0.5 else p ** alpha
+    denom = 0.0
+    for stratum in sorted(powered):
+        denom = denom + powered[stratum]
+    rates = {}
+    for stratum in sorted(counts):
+        q = powered[stratum] / denom
+        r = ((target_frac * q) * total) / counts[stratum]
+        rates[stratum] = min(1.0, r)
+    return rates
+
+
+def temperature_sample(docs: DataFrame, stratum_col: str = "lang",
+                       id_col: str = "doc_id", alpha: float = 0.5,
+                       target_frac: float = 0.5) -> DataFrame:
+    """Temperature-resampled corpus: compute the alpha-sampling rates
+    from this corpus's own stratum counts, then draw the deterministic
+    md5-bucket sample.  Two jobs total: the count agg + the zero-shuffle
+    filter scan."""
+    rates = temperature_rates(docs, stratum_col, alpha, target_frac)
+    return stratified_sample(docs, rates, stratum_col, id_col,
+                             default_rate=0.0)
+
+
 def stratified_exact_k(docs: DataFrame, k: int,
                        stratum_col: str = "lang",
                        id_col: str = "doc_id",

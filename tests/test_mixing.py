@@ -324,3 +324,47 @@ def test_chunk_documents_is_shuffle_free_and_guarded(spark):
         mx.chunk_documents(docs, 0)
     with pytest.raises(ValueError, match="overlap_tokens"):
         mx.chunk_documents(docs, 8, overlap_tokens=8)
+
+
+def test_temperature_rates_upsample_tail_strata(spark):
+    """alpha=0.5 flattens the distribution: the tail language's keep
+    rate must exceed the head's, expected kept volume ≈ target_frac of
+    the corpus, and a tiny stratum caps at 1.0 (kept wholesale)."""
+    rows = [(i, "en") for i in range(800)] \
+        + [(1000 + i, "de") for i in range(150)] \
+        + [(2000 + i, "sw") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+    rates = mx.temperature_rates(docs, alpha=0.5, target_frac=0.5)
+    assert set(rates) == {"en", "de", "sw"}
+    assert rates["sw"] == 1.0                       # tiny stratum capped
+    assert rates["sw"] > rates["de"] > rates["en"]  # tail upsampled
+    expected_mass = 800 * rates["en"] + 150 * rates["de"] + 10 * rates["sw"]
+    # the sw cap donates its excess, so kept mass lands below target
+    assert 0.35 * 960 < expected_mass <= 0.55 * 960
+
+
+def test_temperature_sample_deterministic_and_stratified(spark):
+    rows = [(i, "en") for i in range(400)] + \
+        [(1000 + i, "zh") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+    a = sorted(r["doc_id"] for r in
+               mx.temperature_sample(docs).collect())
+    b = sorted(r["doc_id"] for r in
+               mx.temperature_sample(docs.repartition(7)).collect())
+    assert a == b                                   # member-set exact
+    rates = mx.temperature_rates(docs)
+    got_en = sum(1 for i in a if i < 1000)
+    got_zh = len(a) - got_en
+    # md5 buckets approximate the rate within a few percent at n=400
+    assert abs(got_en / 400 - rates["en"]) < 0.06
+    assert abs(got_zh / 100 - rates["zh"]) < 0.10
+
+
+def test_temperature_rates_empty_and_null_strata(spark):
+    docs = spark.createDataFrame([], "doc_id int, lang string")
+    assert mx.temperature_rates(docs) == {}
+    docs2 = spark.createDataFrame([(0, None), (1, "en")],
+                                  "doc_id int, lang string")
+    rates = mx.temperature_rates(docs2)
+    # NULL stratum excluded; a single stratum keeps exactly target_frac
+    assert set(rates) == {"en"} and rates["en"] == 0.5
