@@ -91,16 +91,15 @@ def bench_queries(spark):
              "q57_line_dedup",
              # round-6: k-means IVF training (2 Lloyd rounds),
              # temperature resampling
-             "q72_kmeans_ivf", "q73_temperature_sample"]
-    # round-6 (judge item 7): the iterative clustering trio is tracked as
-    # standalone single-shot picks — their cost is ~14 rounds of FIXED
-    # per-round barrier overhead (stable, low-variance; the 53-edge
-    # doc_id<120 graph is sf-independent), so one shot per round gives a
-    # clean round-over-round trend without doubling bench wall-clock.
-    # q71 joins the trio: its two chained minhash pipelines over the
-    # fixed 420-doc batch/corpus split are stage-count-bound (~30 s,
-    # stable), so one shot per round tracks the trend without doubling
-    # bench wall-clock.
+             "q72_kmeans_ivf", "q73_temperature_sample",
+             "q74_vocab_topk"]
+    # round-6 (judge item 7): single-shot picks — stable fixed-size
+    # workloads whose cost is dominated by per-round barrier / stage
+    # overhead, so one shot per round gives a clean round-over-round
+    # trend without doubling bench wall-clock: the clustering trio
+    # (sf-independent 53-edge doc_id<120 graph, ~13 barrier rounds) and
+    # q71 (two chained minhash pipelines over the fixed 420-doc
+    # batch/corpus split, stage-count-bound at ~30 s).
     single_shot = ["q59_dup_clusters", "q60_cluster_keep_best",
                    "q61_transitive_dedup", "q71_stream_batch_dedup"]
     qs = entrymod.queries()

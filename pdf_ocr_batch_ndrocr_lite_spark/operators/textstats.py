@@ -389,3 +389,31 @@ def hashed_bow_logit(docs: DataFrame, weights_tenths, bias_tenths: int = 0,
         logit.alias("logit_tenths"),
     ).withColumn("keep", F.col("logit_tenths")
                  > F.lit(int(threshold_tenths)).cast("bigint"))
+
+
+def top_k_words(docs: DataFrame, k: int = 100,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(word, count, doc_freq): the corpus's k most frequent whitespace
+    words with total occurrence count and document frequency — the
+    vocabulary profile tokenizer training (BPE corpus prep), stopword
+    derivation, and corpus QA start from.
+
+    Scale shape: explode → one groupBy(word) computing BOTH aggregates
+    in a single shuffle (the doc-frequency side pre-dedups (word, doc)
+    pairs map-side via the partial distinct aggregate), then top-k as
+    sort+limit — Spark plans TakeOrdered, keeping k rows per partition
+    instead of a full corpus-vocabulary sort.  Ties order by word, so
+    the cut is deterministic.  Counts are exact BIGINTs — no sketch, no
+    float."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: got {k}")
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != "")).alias("word"))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct(F.col(id_col)).alias("doc_freq"))
+    return counts.orderBy(F.col("count").desc(), F.col("word")).limit(k)

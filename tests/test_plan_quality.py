@@ -208,3 +208,59 @@ def test_curation_verdict_single_projection_one_exchange(spark):
         .executedPlan().toString()
     assert "Join" not in phys
     assert phys.count("Exchange") == 1
+
+
+def test_registrable_domain_staged_no_shuffle_no_duplication(spark):
+    """The PSL cascade must stay a pure projection chain: zero
+    exchanges, and every last-k concat subtree computed exactly ONCE
+    (the staging exists because CASE branches share no subexpression
+    elimination — an inline formulation measured 2.17x on q53)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+
+    df = spark.createDataFrame([("https://a.b.co.jp/x",)], "url string")
+    out = cu.with_registrable_domain(df, "url", "domain")
+    opt = _optimized(out)
+    assert opt.count("concat_ws") == 6      # last1..last6, once each
+    assert opt.count("split(") == 1         # host split staged once
+    assert "Exchange" not in _plan(out)
+
+
+def test_temperature_sample_filter_is_shuffle_free(spark):
+    """After the (driver-side) rate computation, the sample itself is a
+    zero-shuffle filter scan — md5-bucket per row, no joins."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import mixing as mx
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(50)] + [(100 + i, "zh") for i in range(20)],
+        "doc_id int, lang string")
+    rates = mx.temperature_rates(docs)
+    plan = _plan(mx.stratified_sample(docs, rates))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_round_is_one_aggregation(spark):
+    """Each Lloyd round must be scan → fused assign+sum aggregation:
+    exactly one shuffle (the groupBy cell), no joins, and the distance
+    array staged so the k squared-L2 folds are computed once."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim2
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(40)],
+        "vec_id int, embedding array<double>")
+    cents = [[0.0, 0.0], [6.0, 4.0]]
+    dists = F.array(*[sim2._sq_dist(F.col("embedding"), c) for c in cents])
+    staged = emb.select(F.col("embedding").alias("_v"), dists.alias("_d"))
+    cell = (F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+            - 1).cast("int")
+    agg = (staged.select(cell.alias("cell"), "_v")
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.element_at("_v", i + 1).cast("double")
+                        .cast("decimal(38,12)")).alias(f"_s{i}")
+                  for i in range(2)]))
+    plan = _plan(agg)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    # the distance array is staged: the k aggregate-folds appear once
+    assert _optimized(agg).count("aggregate(zip_with") == len(cents)

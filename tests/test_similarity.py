@@ -481,3 +481,31 @@ def test_registrable_domain_randomized_vs_generic_psl_reference(spark):
            cu.with_registrable_domain(df, "url", "domain").collect()]
     want = [generic_psl(h) for h in hosts]
     assert got == want
+
+
+def test_top_k_words_counts_and_tie_cut(spark):
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts2
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "b c d"), (2, None), (3, "  ")],
+        "doc_id int, text string")
+    got = [(r["word"], r["count"], r["doc_freq"])
+           for r in ts2.top_k_words(docs, k=3).collect()]
+    # a:3 (1 doc), b:3 (2 docs) — count tie resolves by word; c:2
+    assert got == [("a", 3, 1), ("b", 3, 2), ("c", 2, 2)]
+
+
+def test_top_k_words_plan_is_take_ordered(spark):
+    """Top-k must plan as TakeOrdered (k rows per partition), never a
+    full vocabulary sort; one shuffle for the fused double aggregate."""
+    import pytest
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import textstats as ts2
+
+    docs = spark.createDataFrame([(i, "w x y") for i in range(20)],
+                                 "doc_id int, text string")
+    plan = ts2.top_k_words(docs, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="k must be"):
+        ts2.top_k_words(docs, k=0)
