@@ -340,3 +340,33 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
             .select(F.col(id_col), F.col("chunk_id").cast("int"),
                     F.array_join(F.col("_c.w"), " ").alias("chunk_text"),
                     F.size(F.col("_c.w")).cast("bigint").alias("n_tokens")))
+
+
+def training_shards(docs: DataFrame, n_shards: int, seed: str = "0",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, shard, pos): deterministic seeded training order — the final
+    pre-training step that shuffles the curated corpus and splits it
+    into shard files.  shard = hash(seed:id) mod n_shards (size-balanced
+    in expectation, NO global sort or range partitioner needed); pos =
+    rank within the shard by (hash, id) — so concatenating shards in
+    pos order is a uniform seeded permutation of the corpus.  Changing
+    ``seed`` produces an independent reshuffle; re-runs and backfills
+    reproduce the exact same order.
+
+    Scale shape: one window per shard key — parallelism = n_shards (pick
+    shards ≫ cores, as training sharding already does), each shard sorts
+    |corpus|/n_shards rows; nothing ever sorts globally.  The
+    engine-portable md5 hash keeps the permutation reproducible in ANSI
+    SQL (the q75 oracle replays it exactly)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: got {n_shards}")
+    from .sketches import _hash60  # the ONE engine-portable hash
+
+    h = _hash60(F.concat(F.lit(f"{seed}:"),
+                         F.col(id_col).cast("string")))
+    keyed = docs.select(F.col(id_col), h.alias("_h"),
+                        F.pmod(h, F.lit(n_shards)).cast("int")
+                        .alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (keyed.withColumn("pos", F.row_number().over(w) - 1)
+            .select(id_col, "shard", "pos"))

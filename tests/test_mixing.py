@@ -368,3 +368,27 @@ def test_temperature_rates_empty_and_null_strata(spark):
     rates = mx.temperature_rates(docs2)
     # NULL stratum excluded; a single stratum keeps exactly target_frac
     assert set(rates) == {"en"} and rates["en"] == 0.5
+
+
+def test_training_shards_is_a_seeded_permutation(spark):
+    import pytest
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id int")
+    out = mx.training_shards(docs, n_shards=8, seed="s1").collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        # contiguous 0..n-1 within every shard: concatenation is a
+        # permutation of the corpus
+        assert sorted(positions) == list(range(len(positions)))
+    # deterministic under partitioning
+    again = mx.training_shards(docs.repartition(7), n_shards=8,
+                               seed="s1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed reshuffles
+    other = mx.training_shards(docs, n_shards=8, seed="s2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    with pytest.raises(ValueError, match="n_shards"):
+        mx.training_shards(docs, n_shards=0)
