@@ -99,11 +99,17 @@ def _last_labels(parts, k):
 
 
 def _in_sql(col: str, values) -> str:
-    """SQL membership test (PSL entries never contain quotes, but escape
-    anyway so a poisoned caller-supplied dat cannot break the parse)."""
+    """SQL membership test (PSL entries never contain quotes or
+    backslashes, but escape both anyway so a poisoned caller-supplied
+    dat cannot break the parse: Spark string literals UNESCAPE
+    backslashes — the CLAUDE.md regex gotcha — so a trailing ``\\``
+    would swallow the closing quote and ``\\s`` would silently become a
+    different string)."""
     if not values:
         return "FALSE"
-    body = ",".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
+    body = ",".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        for v in sorted(values))
     return f"({col} IN ({body}))"
 
 

@@ -806,40 +806,45 @@ from .vecmath import dot as _dot, norm as _norm  # noqa: E402 — shared
 
 def _blas_pair_cosine_udf():
     """Arrow-batched numpy cosine over (vec_a, vec_b) column pairs.
-    NULL or length-mismatched rows degrade to NULL cosine — the same
-    failure semantics as the exact left-fold kernel (zip_with over a
-    NULL array yields NULL), instead of np.stack raising inside the
-    executor and aborting the job."""
+
+    Failure semantics MATCH the exact left-fold kernel exactly: a pair
+    degrades to NULL cosine iff either side is NULL or the two sides'
+    lengths differ FROM EACH OTHER (zip_with pads the shorter side with
+    NULLs → NULL fold) — never because some OTHER row in the same Arrow
+    batch happens to have a different dimension (an earlier version
+    inferred "the" dim as the per-batch max, so results depended on how
+    rows split into batches).  Zero-norm pairs are NULL on both kernels
+    (NaN would PASS a >= threshold filter — Spark orders NaN above
+    every number)."""
     @F.pandas_udf("double")
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        dims = [len(v) for v in a if v is not None] \
-            + [len(v) for v in b if v is not None]
-        dim = max(dims) if dims else 0
-        bad = [va is None or vb is None
-               or len(va) != dim or len(vb) != dim
+        bad = [va is None or vb is None or len(va) != len(vb)
                for va, vb in zip(a, b)]
-        if any(bad):
-            zero = np.zeros(dim, dtype=np.float64)
-            ma = np.stack([zero if m else np.asarray(v, dtype=np.float64)
-                           for m, v in zip(bad, a)])
-            mb = np.stack([zero if m else np.asarray(v, dtype=np.float64)
-                           for m, v in zip(bad, b)])
-        else:
+        good_dims = {len(va) for va, m in zip(a, bad) if not m}
+        if not any(bad) and len(good_dims) == 1:
             ma = np.stack(a.to_numpy()).astype(np.float64)
             mb = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        den = na * nb
-        # zero-norm vector → NULL (not NaN: Spark orders NaN above every
-        # number, so a NaN cosine would PASS a >= threshold filter) —
-        # matches the exact kernel's when(den > 0) guard
-        out = num / np.where(den > 0, den, 1.0)
-        res = pd.array(out, dtype="Float64")
-        res[den <= 0] = pd.NA
-        return pd.Series(res, dtype="Float64")
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = (np.sqrt(np.einsum("ij,ij->i", ma, ma))
+                   * np.sqrt(np.einsum("ij,ij->i", mb, mb)))
+            out = num / np.where(den > 0, den, 1.0)
+            res = pd.array(out, dtype="Float64")
+            res[den <= 0] = pd.NA
+            return pd.Series(res, dtype="Float64")
+        # mixed-dimension / NULL-bearing batch (rare path): score each
+        # valid pair at its OWN dimension, row-wise
+        vals = []
+        for va, vb, m in zip(a, b, bad):
+            if m:
+                vals.append(pd.NA)
+                continue
+            xa = np.asarray(va, dtype=np.float64)
+            xb = np.asarray(vb, dtype=np.float64)
+            den = float(np.sqrt(xa @ xa) * np.sqrt(xb @ xb))
+            vals.append(float(xa @ xb) / den if den > 0 else pd.NA)
+        return pd.Series(pd.array(vals, dtype="Float64"))
 
     return _udf
 

@@ -213,6 +213,7 @@ def kmeans_fit(emb: DataFrame, k: int = 3, iters: int = 2,
     if k <= 0 or iters < 0:
         raise ValueError(f"k must be positive, iters >= 0: {k=}, {iters=}")
     seed_rows = emb.select(F.col(id_col), F.col(vec_col)) \
+        .filter(F.col(vec_col).isNotNull()) \
         .orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
@@ -226,10 +227,17 @@ def kmeans_fit(emb: DataFrame, k: int = 3, iters: int = 2,
                             dists.alias("_d"))
         cell = (F.array_position(F.col("_d"), F.array_min(F.col("_d")))
                 - 1).cast("int")
+        # try_element_at, not element_at: under Spark 4's default ANSI
+        # mode an out-of-bounds index RAISES in the executor, so one
+        # ragged (shorter-than-dim) embedding would abort the whole
+        # training job — with try_ the ragged row's missing dims are
+        # NULL (skipped by SUM) and its NULL cell (NULL distances via
+        # zip_with) already keeps it out of every centroid
         agg = (staged.select(cell.alias("cell"), "_v")
                .groupBy("cell")
                .agg(F.count(F.lit(1)).alias("_n"),
-                    *[F.sum(F.element_at("_v", i + 1).cast("double")
+                    *[F.sum(F.try_element_at("_v", F.lit(i + 1))
+                            .cast("double")
                             .cast("decimal(38,12)")).alias(f"_s{i}")
                       for i in range(dim)])
                .collect())

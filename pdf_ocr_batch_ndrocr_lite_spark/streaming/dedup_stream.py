@@ -66,6 +66,19 @@ def dedup_batch_against_corpus(batch_df: DataFrame, corpus: DataFrame,
         sig = inspect.signature(fn).parameters
         return {k: v for k, v in kw.items() if k in sig}
 
+    # every kwarg must be consumed by at least one of the two operators:
+    # a typo'd tuning knob (jacard_threshold=...) silently running the
+    # stream with defaults would admit/drop the wrong documents with no
+    # signal
+    known = (set(inspect.signature(dd.minhash_dedup).parameters)
+             | set(inspect.signature(
+                 dd.incremental_minhash_dedup).parameters))
+    unknown = set(dedup_kwargs) - known
+    if unknown:
+        raise TypeError(
+            f"unknown dedup option(s): {sorted(unknown)} — accepted: "
+            f"{sorted(known - {'new', 'corpus', 'docs', 'id_col', 'text_col'})}")
+
     new = batch_df
     if within_batch:
         new = dd.minhash_dedup(new, id_col, text_col,
@@ -99,8 +112,15 @@ def make_incremental_dedup_sink(corpus_path: str,
             corpus = (spark.read.parquet(corpus_path)
                       .filter(F.col("batch_id") != F.lit(batch_id))
                       .drop("batch_id"))
-        except AnalysisException:
-            # first batch ever: no corpus directory yet
+        except AnalysisException as e:
+            # ONLY the cold-start case (no corpus directory yet) may
+            # fall back to an empty corpus.  Any other analysis error —
+            # e.g. an existing corpus written without the batch_id
+            # partition column — must surface: silently treating a real
+            # corpus as empty would admit every near-duplicate and
+            # pollute all later batches.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             corpus = spark.createDataFrame([], batch_df.schema)
         survivors = dedup_batch_against_corpus(
             batch_df, corpus, id_col, text_col,

@@ -153,3 +153,26 @@ def test_first_batch_without_corpus_dir(spark, tmp_path):
     got = sorted(r["doc_id"] for r in
                  spark.read.parquet(corpus).select("doc_id").collect())
     assert got == [1, 3]
+
+
+def test_sink_raises_on_corpus_without_batch_id_column(spark, tmp_path):
+    """Review regression: only the cold-start PATH_NOT_FOUND may fall
+    back to an empty corpus — an existing corpus missing the batch_id
+    partition column must raise, not silently admit every near-dup."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    corpus = str(tmp_path / "corpus")
+    a, _, _ = _waves(spark)
+    a.write.mode("overwrite").parquet(corpus)   # unpartitioned seed
+    with pytest.raises(AnalysisException):
+        ds.make_incremental_dedup_sink(corpus, **KW)(a, 0)
+
+
+def test_unknown_dedup_kwarg_raises(spark):
+    import pytest
+
+    a, _, _ = _waves(spark)
+    empty = spark.createDataFrame([], ds.DOCS_SCHEMA)
+    with pytest.raises(TypeError, match="jacard_threshold"):
+        ds.dedup_batch_against_corpus(a, empty, jacard_threshold=0.2)

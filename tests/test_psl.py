@@ -75,9 +75,12 @@ def test_curation_constants_carry_full_data():
     assert "city.kawasaki.jp" in cu.PSL_EXCEPTIONS_3L
 
 
-def test_in_sql_escapes_quotes():
+def test_in_sql_escapes_quotes_and_backslashes():
     from pdf_ocr_batch_ndrocr_lite_spark.operators.curation import _in_sql
     assert _in_sql("c", ["a'b"]) == "(c IN ('a''b'))"
+    # Spark string literals unescape backslashes: a trailing one would
+    # swallow the closing quote without the doubling
+    assert _in_sql("c", ["a\\b"]) == "(c IN ('a\\\\b'))"
     assert _in_sql("c", []) == "FALSE"
 
 

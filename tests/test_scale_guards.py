@@ -806,3 +806,19 @@ def test_remove_boilerplate_matches_python_reference_randomized(spark):
            for r in dd.remove_boilerplate_lines(
                docs, max_doc_freq=max_df, min_chars=min_chars).collect()}
     assert got == expect
+
+
+def test_embedding_near_dup_blas_mixed_dims_score_at_own_length(spark):
+    """Review regression: a pair of mutually equal-length vectors must
+    score identically on both kernels even when OTHER rows in the same
+    Arrow batch carry a different dimension — per-batch max-dim
+    inference made results depend on batch boundaries."""
+    emb = spark.createDataFrame(
+        [(0, "b", [1.0, 2.0]), (1, "b", [1.0, 2.0]),     # dim-2 dup pair
+         (2, "b", [3.0, 4.0, 5.0]), (3, "b", [3.0, 4.0, 5.0])],  # dim-3
+        "vec_id int, label string, embedding array<double>")
+    for kern in ("exact", "blas"):
+        pairs = {(r["a_id"], r["b_id"])
+                 for r in dd.embedding_near_dup_pairs(
+                     emb, threshold=0.99, kernel=kern).collect()}
+        assert pairs == {(0, 1), (2, 3)}, kern

@@ -509,3 +509,19 @@ def test_top_k_words_plan_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="k must be"):
         ts2.top_k_words(docs, k=0)
+
+
+def test_kmeans_fit_tolerates_ragged_and_null_rows(spark):
+    """Review regression: under ANSI mode a ragged embedding previously
+    aborted training via element_at OOB; now NULL/ragged rows simply
+    train nothing (NULL distances → NULL cell) and the centroids come
+    from the well-formed rows."""
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+            (2, [9.0, 9.0]), (3, [9.1, 9.0]),
+            (4, None), (5, [1.0])]                 # NULL + ragged
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = sim.kmeans_fit(emb, k=2, iters=2)
+    assert len(cents) == 2
+    got = {r["vec_id"]: r["cell"]
+           for r in sim.ivf_assign(emb, cents).collect()}
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]

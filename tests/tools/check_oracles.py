@@ -170,6 +170,8 @@ if __name__ == "__main__":
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracles.py [names...] [--json PATH]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     main(set(args) or None, json_out=json_out)
