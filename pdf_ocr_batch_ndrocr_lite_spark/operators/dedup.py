@@ -290,6 +290,19 @@ def incremental_exact_dedup(new: DataFrame, corpus: DataFrame,
             .drop("_h"))
 
 
+def band_buckets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", num_hashes: int = 8,
+                 bands: int = 4, k: int = 3) -> DataFrame:
+    """Public (id, band, key) LSH bucket index for a document frame —
+    the PERSISTABLE half of the minhash pipeline.  A continuous-ingest
+    corpus stores this index incrementally (each admitted batch appends
+    its survivors' buckets) so later batches join against stored keys
+    instead of re-hashing the whole corpus per micro-batch — the
+    signature recompute was measured to dominate streaming-dedup cost
+    and GROW with corpus size (see streaming/dedup_stream.py)."""
+    return _band_buckets(docs, id_col, text_col, num_hashes, bands, k)
+
+
 def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text",
@@ -298,7 +311,9 @@ def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
                               jaccard_threshold: float = 0.8,
                               max_df: int | None = None,
                               bucket_cap: int = 1024,
-                              max_salts: int = 64) -> DataFrame:
+                              max_salts: int = 64,
+                              corpus_buckets: DataFrame | None = None
+                              ) -> DataFrame:
     """Rows of `new` that near-dup NO document in `corpus` (LSH
     candidates → Jaccard verify, new×corpus only).  Within-batch
     near-dups are the caller's separate `minhash_dedup` pass — keeping
@@ -315,9 +330,19 @@ def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
     forms a (corpus, new) pair — without the tag it would normalize to
     a_id == b_id, which the a < b orientation never emits, and the true
     duplicate would silently survive (and its two texts' shingle sets
-    would merge, corrupting the DF cap)."""
+    would merge, corrupting the DF cap).
+
+    ``corpus_buckets``: a pre-built (id, band, key) index for the corpus
+    side (see :func:`band_buckets`).  Without it the corpus is re-hashed
+    on every call — fine for a one-shot snapshot, but a continuous
+    ingest loop MUST pass the stored index or each micro-batch pays a
+    full-corpus signature recompute (measured to dominate and grow
+    linearly with corpus size).  Only candidate docs' TEXT is ever read
+    from the corpus either way (the Jaccard verify's semi-join)."""
     nb = _band_buckets(new, id_col, text_col, num_hashes, bands, k)
-    cb = _band_buckets(corpus, id_col, text_col, num_hashes, bands, k)
+    cb = (corpus_buckets if corpus_buckets is not None
+          else _band_buckets(corpus, id_col, text_col, num_hashes,
+                             bands, k))
     cand = (salted_two_sided_join(nb, cb, ["band", "key"], id_col,
                                   bucket_cap, max_salts)
             .select(F.col(f"a.{id_col}").alias("new_id"),

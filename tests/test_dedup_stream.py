@@ -176,3 +176,41 @@ def test_unknown_dedup_kwarg_raises(spark):
     empty = spark.createDataFrame([], ds.DOCS_SCHEMA)
     with pytest.raises(TypeError, match="jacard_threshold"):
         ds.dedup_batch_against_corpus(a, empty, jacard_threshold=0.2)
+
+
+def test_sink_maintains_bucket_index(spark, tmp_path):
+    """The stored LSH index must exactly equal band_buckets over the
+    corpus after every batch (it is what later batches join against
+    instead of re-hashing the corpus — the measured flat-cost property)."""
+    corpus = str(tmp_path / "corpus")
+    a, b, _ = _waves(spark)
+    sink = ds.make_incremental_dedup_sink(corpus, **KW)
+    sink(a, 0)
+    sink(b, 1)
+    stored = {(r["doc_id"], r["band"], r["key"]) for r in
+              spark.read.parquet(ds.buckets_path_for(corpus)).collect()}
+    docs = spark.read.parquet(corpus).drop("batch_id")
+    want = {(r["doc_id"], r["band"], r["key"]) for r in
+            dd.band_buckets(docs, num_hashes=KW["num_hashes"],
+                            bands=KW["bands"], k=KW["k"]).collect()}
+    assert stored == want and stored
+
+
+def test_sink_backfills_index_for_preexisting_corpus(spark, tmp_path):
+    """Upgrade path: a corpus written before the index existed gets its
+    index backfilled once (batch ids preserved), and dedup against it
+    still drops corpus near-dups."""
+    import shutil
+
+    corpus = str(tmp_path / "corpus")
+    a, b, _ = _waves(spark)
+    sink = ds.make_incremental_dedup_sink(corpus, **KW)
+    sink(a, 0)
+    shutil.rmtree(ds.buckets_path_for(corpus))   # simulate pre-upgrade
+    sink(b, 1)
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus).select("doc_id").collect())
+    assert got == [1, 3, 11]                     # doc 10 still dropped
+    idx = spark.read.parquet(ds.buckets_path_for(corpus))
+    assert sorted(r["batch_id"] for r in
+                  idx.select("batch_id").distinct().collect()) == [0, 1]
