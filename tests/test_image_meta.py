@@ -147,3 +147,34 @@ def test_html_still_routes_to_html():
         b"as main text for the readability extractor</p></body></html>",
         "en")
     assert out["doc_kind"] == "html"
+
+
+def test_fuzzed_image_headers_never_crash_the_dispatcher():
+    """Mutate valid headers of every whitelisted format: the parser may
+    raise ImageParseError (or struct/Unicode noise the dispatcher
+    catches), but the DISPATCHER must always produce an action row —
+    never an unhandled exception (crawl bytes are adversarial)."""
+    import random
+
+    rng = random.Random(20260817)
+    bases = [
+        im.make_fake_jpeg(300, 200, dpi=96),
+        im.make_fake_png(300, 200, dpi=300.0),
+        im.make_fake_bmp(300, 200, dpi=96),
+        im.make_fake_tiff(300, 200, dpi=200, unit=2),
+        im.make_fake_tiff(300, 200, dpi=200, unit=2, big_endian=True),
+        im.make_fake_webp(300, 200, variant="vp8"),
+        im.make_fake_webp(300, 200, variant="vp8l"),
+        im.make_fake_webp(300, 200, variant="vp8x"),
+    ]
+    for base in bases:
+        for _ in range(120):
+            blob = bytearray(base)
+            for _ in range(rng.randrange(1, 5)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                blob = blob[:rng.randrange(1, len(blob) + 1)]
+            out = E.extract_one("https://x/fuzz", bytes(blob), "en")
+            assert out["action"] in (
+                E.ACTION_NEEDS_OCR, E.ACTION_PARSE_FAILURE,
+                E.ACTION_EXTRACTED, E.ACTION_SKIP_HAS_TEXT), out
