@@ -92,7 +92,7 @@ def bench_queries(spark):
              # round-6: k-means IVF training (2 Lloyd rounds),
              # temperature resampling
              "q72_kmeans_ivf", "q73_temperature_sample",
-             "q74_vocab_topk"]
+             "q74_vocab_topk", "q76_simhash_pairs"]
     # round-6 (judge item 7): single-shot picks — stable fixed-size
     # workloads whose cost is dominated by per-round barrier / stage
     # overhead, so one shot per round gives a clean round-over-round

@@ -800,6 +800,62 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return bitsums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 60,
+                           bands: int = 4, max_hamming: int = 3,
+                           bucket_cap: int = 1024,
+                           max_salts: int = 64) -> DataFrame:
+    """(a_id, b_id, hamming): document pairs whose simhash fingerprints
+    differ in at most ``max_hamming`` bits — the web-scale near-dup
+    detector of Manku/Jain/Das Sarma, "Detecting Near-Duplicates for
+    Web Crawling" (WWW 2007), as a relational plan.
+
+    Candidate generation is the paper's band trick: split the
+    fingerprint into ``bands`` contiguous slices; by pigeonhole, any
+    pair within hamming distance ``bands - 1`` agrees on at least one
+    whole slice, so candidates are an EQUALITY self-join on
+    (band, slice-value) — never an all-pairs product — and exactness
+    holds whenever ``max_hamming <= bands - 1`` (asserted).  Hot slices
+    (boilerplate-dominated corpora collapse many docs onto one
+    fingerprint region) go through the shared ``salted_self_join``
+    bound.  The verify is one codegen'd projection:
+    bit_count(xor) <= max_hamming.
+
+    Plan: signature agg → slice explode (×bands) → salted equality
+    self-join → projection.  Shuffles fingerprints (8 bytes/row·band),
+    never text."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= max_hamming + 1 "
+            f"(got {bands}): the band trick only guarantees a shared "
+            "slice for pairs within bands - 1 bit flips")
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into "
+                         f"bands ({bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, id_col, text_col, bits)
+    slices = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(bands)])).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    joined = salted_self_join(slices, ["band", "key"], id_col,
+                              bucket_cap, max_salts)
+    pairs = joined.select(
+        F.col(f"a.{id_col}").alias("a_id"),
+        F.col(f"b.{id_col}").alias("b_id"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return pairs.distinct()
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup: pairs with cosine ≥ threshold among LSH-ish
 # coarse buckets (label column or norm-bucket) — the IVF coarse-quantizer

@@ -822,3 +822,39 @@ def test_embedding_near_dup_blas_mixed_dims_score_at_own_length(spark):
                  for r in dd.embedding_near_dup_pairs(
                      emb, threshold=0.99, kernel=kern).collect()}
         assert pairs == {(0, 1), (2, 3)}, kern
+
+
+# ---------------------------------------------------------------------------
+# simhash_near_dup_pairs: band-candidate exactness + hot-bucket invariance
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_semantics_and_guards(spark):
+    import pytest
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e f g h"),  # identical
+         (2, "a b c d e f g h"),                          # triple
+         (3, "x y z w v u t s")],                         # unrelated
+        "doc_id int, text string")
+    got = sorted((r["a_id"], r["b_id"], r["hamming"]) for r in
+                 dd.simhash_near_dup_pairs(docs).collect())
+    assert got == [(0, 1, 0), (0, 2, 0), (1, 2, 0)]
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd.simhash_near_dup_pairs(docs, bands=3, max_hamming=3)
+    with pytest.raises(ValueError, match="divide"):
+        dd.simhash_near_dup_pairs(docs, bits=60, bands=7)
+
+
+def test_simhash_pairs_hot_bucket_split_invariant(spark):
+    """A corpus collapsing onto one fingerprint (every band slice hot)
+    must yield the same pair set under a tiny bucket_cap (salt split
+    engaged) as without it."""
+    docs = spark.createDataFrame(
+        [(i, "same words in every single document here") for i in range(40)],
+        "doc_id int, text string")
+    plain = {(r["a_id"], r["b_id"]) for r in
+             dd.simhash_near_dup_pairs(docs).collect()}
+    split = {(r["a_id"], r["b_id"]) for r in
+             dd.simhash_near_dup_pairs(docs, bucket_cap=8).collect()}
+    assert plain == split == {(a, b) for a in range(40)
+                              for b in range(a + 1, 40)}
