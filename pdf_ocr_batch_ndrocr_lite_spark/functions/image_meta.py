@@ -232,10 +232,12 @@ def _tiff_meta(data: bytes) -> Dict[str, float]:
     if not w or not h:
         raise ImageParseError("tiff: missing dimension tags")
     # Pillow TiffImagePlugin parity: unit 2 (inch) → resolution IS dpi;
-    # unit 3 (cm) → ×2.54; unit 1 / absent → "no absolute unit", Pillow
-    # fills info["resolution"] but NOT info["dpi"], so the reference's
-    # im.info.get("dpi", (150, 150)) default applies.
-    if res_unit == 2:
+    # unit 3 (cm) → ×2.54; an ABSENT 296 tag → the TIFF spec default unit
+    # is inch, and Pillow's "resunit is None" branch fills info["dpi"] =
+    # (xres, yres); only unit 1 (EXPLICIT "no absolute unit") leaves
+    # info["dpi"] unset, so the reference's im.info.get("dpi", (150, 150))
+    # default applies there alone.
+    if res_unit == 2 or res_unit is None:
         dpi_x, dpi_y = xres, yres
     elif res_unit == 3:
         dpi_x = xres * 2.54 if xres is not None else None
@@ -409,12 +411,14 @@ def make_fake_bmp(width: int, height: int,
 
 def make_fake_tiff(width: int, height: int,
                    dpi: Optional[float] = None,
-                   unit: int = 2,
+                   unit: Optional[int] = 2,
                    big_endian: bool = False) -> bytes:
     """Header + one IFD with tags 256/257 (+282/283/296 when ``dpi``).
     ``unit=2`` stores dpi directly; ``unit=3`` stores dpi/2.54 (i.e. the
     resolution value is per-cm, parsing back as value*2.54); ``unit=1``
-    stores the rationals but no absolute unit → parser yields no dpi."""
+    stores the rationals with the explicit no-absolute-unit marker →
+    parser yields no dpi; ``unit=None`` writes 282/283 but OMITS tag 296
+    (scanner-style output — spec default inch, parses back as dpi)."""
     end = "big" if big_endian else "little"
 
     def u16(v):
@@ -439,12 +443,14 @@ def make_fake_tiff(width: int, height: int,
         res = dpi / 2.54 if unit == 3 else dpi
         num = round(res * 100)
         # rational data sits after the IFD; offsets computed below
-        n_base = len(entries) + 3  # +282, +283, +296 still to come
+        n_res = 3 if unit is not None else 2  # 282, 283 (+296 if a unit)
+        n_base = len(entries) + n_res
         ifd_size = 2 + 12 * n_base + 4
         data_off = 8 + ifd_size
         entry(282, 5, 1, u32(data_off))
         entry(283, 5, 1, u32(data_off + 8))
-        entry(296, 3, 1, u16(unit))
+        if unit is not None:
+            entry(296, 3, 1, u16(unit))
         rationals = (u32(num) + u32(100)) * 2
     hdr = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + u32(8)
     ifd = u16(len(entries)) + b"".join(entries) + u32(0)

@@ -192,6 +192,14 @@ def with_registrable_domain(df: DataFrame, url_col: str = "url",
     staging exists so each concat_ws/last-k subtree is computed ONCE
     (CASE branches don't share subexpression elimination — the inline
     formulation measured 2.17× slower on q53)."""
+    clash = [c for c in df.columns if c.startswith("_psl_")]
+    if clash:
+        # the staged projections use fixed _psl_* intermediate names; an
+        # input column with one of them would be silently overwritten
+        # and dropped from the output — refuse instead
+        raise ValueError(
+            f"input columns collide with PSL staging names: {clash} — "
+            "rename them before with_registrable_domain")
     passthrough = [F.col(c) for c in df.columns]
     ps_col, dom_col = _psl_cascade_cols()
     host = extract_domain(F.col(url_col))

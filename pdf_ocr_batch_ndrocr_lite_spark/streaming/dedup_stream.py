@@ -38,6 +38,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
 from ..operators import dedup as dd
@@ -142,8 +143,38 @@ def make_incremental_dedup_sink(corpus_path: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx_path = buckets_path_for(corpus_path)
+        # A zero-row partitioned write (zero-survivor first batch; index
+        # backfill when the corpus holds only the replaying batch's
+        # partition) leaves a directory with NO data files, and an
+        # inferred read of it raises UNABLE_TO_INFER_SCHEMA — not the
+        # PATH_NOT_FOUND the cold-start guard passes through —
+        # permanently crash-looping the stream.  `_read` keeps the
+        # inferred read (so a real corpus written WITHOUT the batch_id
+        # partition column still fails loudly at the filter — pinning a
+        # schema would read batch_id as NULL and silently admit every
+        # near-dup) and falls back to a known-schema EMPTY frame only
+        # for the no-data-files case.  Both schemas are known by
+        # construction: the corpus is written from batch rows, the
+        # index from band_buckets over them (plan-only derivation).
+        corpus_schema = T.StructType(
+            list(batch_df.schema.fields)
+            + [T.StructField("batch_id", T.LongType())])
+        idx_schema = T.StructType(
+            list(dd.band_buckets(
+                spark.createDataFrame([], batch_df.schema),
+                id_col, text_col, **bucket_kw).schema.fields)
+            + [T.StructField("batch_id", T.LongType())])
+
+        def _read(path, empty_schema):
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as e:
+                if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                    raise  # incl. PATH_NOT_FOUND → caller's cold-start guard
+                return spark.createDataFrame([], empty_schema)
+
         try:
-            corpus_b = (spark.read.parquet(corpus_path)
+            corpus_b = (_read(corpus_path, corpus_schema)
                         .filter(F.col("batch_id") != F.lit(batch_id)))
             corpus = corpus_b.drop("batch_id")
         except AnalysisException as e:
@@ -158,7 +189,7 @@ def make_incremental_dedup_sink(corpus_path: str,
             corpus_b = None
             corpus = spark.createDataFrame([], batch_df.schema)
         try:
-            index = (spark.read.parquet(idx_path)
+            index = (_read(idx_path, idx_schema)
                      .filter(F.col("batch_id") != F.lit(batch_id))
                      .drop("batch_id"))
         except AnalysisException as e:
@@ -172,7 +203,7 @@ def make_incremental_dedup_sink(corpus_path: str,
                  .join(corpus_b.select(id_col, "batch_id"), id_col)
                  .write.mode("overwrite")
                  .partitionBy("batch_id").parquet(idx_path))
-                index = (spark.read.parquet(idx_path)
+                index = (_read(idx_path, idx_schema)
                          .filter(F.col("batch_id") != F.lit(batch_id))
                          .drop("batch_id"))
             else:
@@ -196,7 +227,7 @@ def make_incremental_dedup_sink(corpus_path: str,
          .partitionBy("batch_id").parquet(corpus_path))
         # index the batch's admitted survivors from the just-written
         # partition (a flat parquet read, not the dedup plan's lineage)
-        admitted = (spark.read.parquet(corpus_path)
+        admitted = (_read(corpus_path, corpus_schema)
                     .filter(F.col("batch_id") == F.lit(batch_id))
                     .drop("batch_id"))
         (dd.band_buckets(admitted, id_col, text_col, **bucket_kw)

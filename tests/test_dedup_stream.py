@@ -196,6 +196,44 @@ def test_sink_maintains_bucket_index(spark, tmp_path):
     assert stored == want and stored
 
 
+def test_replay_first_batch_after_index_loss(spark, tmp_path):
+    """Review regression (ADVICE r6): replaying batch 0 after the index
+    is lost backfills from a corpus that EXCLUDES batch 0's partition —
+    zero rows — so the backfill writes a data-file-less parquet dir.
+    Re-reading it must yield an empty index (known schema), not an
+    UNABLE_TO_INFER_SCHEMA crash loop."""
+    import shutil
+
+    corpus = str(tmp_path / "corpus")
+    a, _, _ = _waves(spark)
+    sink = ds.make_incremental_dedup_sink(corpus, **KW)
+    sink(a, 0)
+    shutil.rmtree(ds.buckets_path_for(corpus))   # index loss
+    sink(a, 0)                                   # replay of the FIRST batch
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus).select("doc_id").collect())
+    assert got == [1, 3]
+    # the replay re-indexed its own survivors
+    idx = spark.read.parquet(ds.buckets_path_for(corpus))
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 3}
+
+
+def test_zero_row_first_batch_does_not_poison_corpus(spark, tmp_path):
+    """Review regression (ADVICE r6): an empty first micro-batch writes
+    a data-file-less corpus dir; the write-back read AND the next
+    batch's corpus read must treat it as an empty corpus (PATH exists,
+    schema known) instead of crash-looping on UNABLE_TO_INFER_SCHEMA."""
+    corpus = str(tmp_path / "corpus")
+    a, _, _ = _waves(spark)
+    empty = spark.createDataFrame([], ds.DOCS_SCHEMA)
+    sink = ds.make_incremental_dedup_sink(corpus, **KW)
+    sink(empty, 0)                               # zero-survivor first batch
+    sink(a, 1)                                   # must proceed normally
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus).select("doc_id").collect())
+    assert got == [1, 3]
+
+
 def test_sink_backfills_index_for_preexisting_corpus(spark, tmp_path):
     """Upgrade path: a corpus written before the index existed gets its
     index backfilled once (batch ids preserved), and dedup against it

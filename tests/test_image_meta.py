@@ -77,6 +77,15 @@ def test_tiff_no_absolute_unit_defaults_150():
     assert meta["dpi_x"] == 150.0
 
 
+def test_tiff_resolution_without_unit_tag_is_inch():
+    # ABSENT 296 tag (common scanner output): TIFF spec default unit is
+    # inch and Pillow's "resunit is None" branch fills info["dpi"], so
+    # the rationals parse back as dpi — NOT the 150 default
+    meta = im.prepare_image(im.make_fake_tiff(800, 600, dpi=200, unit=None))
+    assert meta["dpi_x"] == 200.0
+    assert meta["dpi_y"] == 200.0
+
+
 def test_tiff_no_resolution_tags_defaults_150():
     meta = im.prepare_image(im.make_fake_tiff(800, 600))
     assert meta["dpi_x"] == 150.0

@@ -101,3 +101,16 @@ def test_new_registry_registrable_domain(spark):
     got = [r["domain"] for r in
            cu.with_registrable_domain(df, "url", "domain").collect()]
     assert got == [want for _, want in urls]
+
+
+def test_psl_staging_name_collision_raises(spark):
+    """Review regression (ADVICE r6): an input column named like a
+    _psl_* staging intermediate would be silently overwritten and
+    dropped — the operator must refuse it up front."""
+    import pytest
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    df = spark.createDataFrame(
+        [("https://a.co.ke/x", 1)], "url string, _psl_h int")
+    with pytest.raises(ValueError, match="_psl_h"):
+        cu.with_registrable_domain(df, "url", "domain")
