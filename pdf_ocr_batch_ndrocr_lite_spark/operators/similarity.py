@@ -169,18 +169,99 @@ def _sq_dist(vec_col, centroid: Sequence[float]):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def ivf_assign(emb: DataFrame, centroids: List[Sequence[float]],
-               id_col: str = "vec_id", vec_col: str = "embedding"
+def _sq_dist_col(vec_col, cvec_col):
+    """The SAME left-fold squared L2, between two array COLUMNS — the
+    broadcast-path twin of `_sq_dist`: identical per-element term order,
+    so literal- and broadcast-path distances are bit-identical."""
+    return F.aggregate(
+        F.zip_with(vec_col, cvec_col, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+#: above this k, centroid transport switches from plan literals to the
+#: broadcast one-row codebook (see `ivf_assign`).  16 keeps every
+#: bit-proven small-k oracle (q51 k=4, q72 k=3) on the literal path
+#: while any real coarse quantizer (k in the thousands) broadcasts.
+BROADCAST_K_THRESHOLD = 16
+
+
+def centroids_df(spark, centroids: List[Sequence[float]]) -> DataFrame:
+    """(cell, cvec) centroid table from a driver-side list — rows travel
+    the DATA plane (serialized relation), never the plan."""
+    rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cell int, cvec array<double>")
+
+
+def _packed_codebook(cents: DataFrame) -> DataFrame:
+    """ONE row holding every centroid as array<struct<cell,cvec>>,
+    cell-sorted (collect_list order is nondeterministic; array_sort on
+    the struct restores the total order cells are unique under)."""
+    return cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell").cast("int").alias("cell"),
+                                    F.col("cvec")))).alias("_cents"))
+
+
+def _ivf_assign_broadcast(emb: DataFrame, cents: DataFrame,
+                          id_col: str, vec_col: str) -> DataFrame:
+    """Scale path: nearest-cell assignment against a BROADCAST codebook.
+
+    The k×dim centroid payload rides a broadcast relation (one row of
+    array<struct<cell,cvec>>), so the PLAN stays O(1) in k — the literal
+    formulation put O(k·dim) expressions in the plan, the same driver
+    planning blow-up class the PSL notes measure for `Column.isin`, and
+    at a real coarse quantizer (k=4096-65536, dim 768) that is millions
+    of literals before any data moves.  Per row: one
+    array_min(transform(codebook, struct(dist, cell))) — the struct min
+    is (dist, cell)-ordered, i.e. lowest cell among equal minima,
+    exactly the literal path's array_position first-minimum rule; the
+    per-element fold arithmetic is `_sq_dist_col` = `_sq_dist`, so
+    assignments are bit-identical (property-tested).  Zero shuffle: a
+    1-row BroadcastNestedLoopJoin fuses into the scan stage.  A NULL or
+    ragged (wrong-dim) vector yields NULL distances on BOTH paths —
+    the final when() nulls the cell instead of letting NULLS-FIRST
+    struct ordering elect a bogus winner."""
+    joined = emb.select(F.col(id_col), F.col(vec_col)) \
+        .join(F.broadcast(_packed_codebook(cents)))
+    best = F.array_min(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _sq_dist_col(F.col(vec_col), c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"))))
+    # stage `best` in its own projection: it is referenced twice (dist
+    # guard + cell pick) and HOF expressions are never CSE'd
+    staged = joined.select(F.col(id_col), best.alias("_best"))
+    cell = F.when(F.col("_best")["dist"].isNotNull(),
+                  F.col("_best")["cell"]).cast("int")
+    return staged.select(F.col(id_col), cell.alias("cell"))
+
+
+def ivf_assign(emb: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               broadcast_threshold: int = BROADCAST_K_THRESHOLD
                ) -> DataFrame:
-    """(id, cell): nearest-centroid cell per row, first-minimum tie-break
-    (array_position finds the FIRST occurrence — deterministic)."""
+    """(id, cell): nearest-centroid cell per row, first-minimum tie-break.
+
+    Centroid transport is picked by size: below ``broadcast_threshold``
+    the centroids enter the plan as literal arrays (bit-proven by the
+    q51/q72 oracles; zero join); at or above it — or when ``centroids``
+    is already a (cell, cvec) DataFrame, the lake-scale form — they ride
+    a broadcast codebook row instead (`_ivf_assign_broadcast`), keeping
+    the plan O(1) in k.  Both paths produce bit-identical assignments
+    (same fold arithmetic, same tie rule)."""
+    if isinstance(centroids, DataFrame):
+        return _ivf_assign_broadcast(emb, centroids, id_col, vec_col)
+    if len(centroids) >= broadcast_threshold:
+        cents = centroids_df(emb.sparkSession, centroids)
+        return _ivf_assign_broadcast(emb, cents, id_col, vec_col)
     dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return emb.select(F.col(id_col), cell.alias("cell"))
 
 
 def kmeans_fit(emb: DataFrame, k: int = 3, iters: int = 2,
-               id_col: str = "vec_id", vec_col: str = "embedding"
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               broadcast_threshold: int = BROADCAST_K_THRESHOLD
                ) -> List[List[float]]:
     """Train the IVF coarse quantizer: Lloyd's k-means over the
     embedding column, returning `k` centroids for
@@ -192,11 +273,12 @@ def kmeans_fit(emb: DataFrame, k: int = 3, iters: int = 2,
     - Deterministic init: the `k` lowest-id vectors (no RNG — the same
       corpus always trains the same index).
     - Centroids live on the DRIVER between rounds (k × dim floats —
-      bytes, not data), entering each round as literals: every round's
-      plan is scan → one fused assign+sum aggregation, with NO
-      iterative self-join and no lineage growth (the planning-explosion
-      trap connected_components had to barrier around simply never
-      arises).
+      bytes, not data), entering each round as literals below
+      ``broadcast_threshold`` and as a broadcast codebook row at or
+      above it (plan stays O(1) in k): every round's plan is scan →
+      one fused assign+sum aggregation, with NO iterative self-join
+      and no lineage growth (the planning-explosion trap
+      connected_components had to barrier around simply never arises).
     - Each round is ONE job: cell assignment (the same left-fold
       squared-L2 + first-minimum rule as `ivf_assign`) fused with
       per-cell per-dimension sums in a single groupBy — k rows come
@@ -220,13 +302,33 @@ def kmeans_fit(emb: DataFrame, k: int = 3, iters: int = 2,
     centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
     dim = len(centroids[0])
     for _ in range(iters):
-        dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
-        # stage the distance array: it is referenced twice (min +
-        # position) and HOF expressions are never CSE'd (SPARK-35410)
-        staged = emb.select(F.col(vec_col).alias("_v"),
-                            dists.alias("_d"))
-        cell = (F.array_position(F.col("_d"), F.array_min(F.col("_d")))
-                - 1).cast("int")
+        if k >= broadcast_threshold:
+            # scale path: the round's centroids enter as a broadcast
+            # codebook row, not O(k·dim) plan literals — same fold
+            # arithmetic and tie rule, so the trained centroids are
+            # bit-identical to the literal path (see
+            # `_ivf_assign_broadcast`; property- and oracle-tested)
+            cents = centroids_df(emb.sparkSession, centroids)
+            joined = emb.select(F.col(vec_col).alias("_v")) \
+                .join(F.broadcast(_packed_codebook(cents)))
+            best = F.array_min(F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    _sq_dist_col(F.col("_v"), c["cvec"]).alias("dist"),
+                    c["cell"].alias("cell"))))
+            staged = joined.select(F.col("_v"), best.alias("_best"))
+            cell = F.when(F.col("_best")["dist"].isNotNull(),
+                          F.col("_best")["cell"]).cast("int")
+        else:
+            dists = F.array(*[_sq_dist(F.col(vec_col), c)
+                              for c in centroids])
+            # stage the distance array: it is referenced twice (min +
+            # position) and HOF expressions are never CSE'd (SPARK-35410)
+            staged = emb.select(F.col(vec_col).alias("_v"),
+                                dists.alias("_d"))
+            cell = (F.array_position(F.col("_d"),
+                                     F.array_min(F.col("_d")))
+                    - 1).cast("int")
         # try_element_at, not element_at: under Spark 4's default ANSI
         # mode an out-of-bounds index RAISES in the executor, so one
         # ragged (shorter-than-dim) embedding would abort the whole
@@ -267,7 +369,7 @@ def query_probe_cells(query: Sequence[float],
 
 
 def ivf_topk(emb: DataFrame, query: Sequence[float],
-             centroids: List[Sequence[float]], k: int = 10, nprobe: int = 2,
+             centroids, k: int = 10, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              kernel: str = "exact") -> DataFrame:
     """ANN top-k: brute-force cosine restricted to the query's nprobe
@@ -275,8 +377,19 @@ def ivf_topk(emb: DataFrame, query: Sequence[float],
     the candidate-scoring arithmetic (see module kernel note); cell
     ASSIGNMENT always stays on the exact left-fold path — a flipped
     assignment would change which rows are scanned, not just a low bit
-    of a score."""
-    probes = query_probe_cells(query, centroids, nprobe)
+    of a score.  ``centroids`` may be a driver list or a (cell, cvec)
+    DataFrame (lake-scale codebook) — with a DataFrame, probe selection
+    runs as a tiny k-row job (query enters as O(dim) literals) instead
+    of collecting the codebook to the driver."""
+    if isinstance(centroids, DataFrame):
+        probe_rows = (centroids
+                      .select("cell",
+                              _sq_dist(F.col("cvec"), query).alias("_d"))
+                      .orderBy("_d", "cell").limit(max(1, nprobe))
+                      .collect())
+        probes = [int(r["cell"]) for r in probe_rows]
+    else:
+        probes = query_probe_cells(query, centroids, nprobe)
     cells = ivf_assign(emb, centroids, id_col, vec_col)
     candidates = emb.join(
         cells.filter(F.col("cell").isin([int(p) for p in probes])), id_col)

@@ -264,3 +264,66 @@ def test_kmeans_round_is_one_aggregation(spark):
     assert "Join" not in plan
     # the distance array is staged: the k aggregate-folds appear once
     assert _optimized(agg).count("aggregate(zip_with") == len(cents)
+
+
+def test_ivf_broadcast_assign_plan_flat_in_k(spark):
+    """r6 scale fix: at k >= BROADCAST_K_THRESHOLD the centroids must
+    ride a broadcast codebook relation, NOT O(k*dim) plan literals —
+    plan text is the same size at k=64 and k=512, the join is a 1-row
+    BroadcastNestedLoopJoin, and no shuffle exists."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def cents(k):
+        return [[float((b * 17 + i * 5) % 7 - 3) for i in range(64)]
+                for b in range(k)]
+
+    df64 = sim.ivf_assign(emb, cents(64))
+    df512 = sim.ivf_assign(emb, cents(512))
+    p64 = _plan(df64)
+    assert "BroadcastNestedLoopJoin" in p64
+    # the only exchanges are on the CODEBOOK side: the k-row
+    # collect_list packing (SinglePartition) + its broadcast — the
+    # embedding scan itself must never hash-shuffle
+    data_side = p64.replace("BroadcastExchange", "") \
+                   .replace("Exchange SinglePartition", "")
+    assert "Exchange" not in data_side, p64
+    n64 = len(df64._jdf.queryExecution().analyzed().toString())
+    n512 = len(df512._jdf.queryExecution().analyzed().toString())
+    assert abs(n512 - n64) < 200, (n64, n512)   # literals would add ~3M chars
+    # below the threshold the bit-proven literal path stays join-free
+    lit = _plan(sim.ivf_assign(emb, cents(4)))
+    assert "Join" not in lit
+
+
+def test_kmeans_broadcast_round_shape(spark):
+    """A broadcast-path Lloyd round keeps the one-aggregation shape:
+    exactly one real Exchange (the groupBy cell) plus the broadcast,
+    and a BroadcastNestedLoopJoin instead of literal centroids."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(80)],
+        "vec_id int, embedding array<double>")
+    cents_list = [[float(j % 7), float(j % 5)] for j in range(20)]
+    cents = sim.centroids_df(spark, cents_list)
+    joined = emb.select(F.col("embedding").alias("_v")) \
+        .join(F.broadcast(sim._packed_codebook(cents)))
+    best = F.array_min(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            sim._sq_dist_col(F.col("_v"), c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"))))
+    staged = joined.select(F.col("_v"), best.alias("_best"))
+    cell = F.when(F.col("_best")["dist"].isNotNull(),
+                  F.col("_best")["cell"]).cast("int")
+    agg = (staged.select(cell.alias("cell"), "_v")
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.try_element_at("_v", F.lit(i + 1)).cast("double")
+                        .cast("decimal(38,12)")).alias(f"_s{i}")
+                  for i in range(2)]))
+    plan = _plan(agg)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.replace("BroadcastExchange", "").count("Exchange") <= 2

@@ -525,3 +525,59 @@ def test_kmeans_fit_tolerates_ragged_and_null_rows(spark):
     got = {r["vec_id"]: r["cell"]
            for r in sim.ivf_assign(emb, cents).collect()}
     assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+
+def test_ivf_assign_broadcast_matches_literal(spark):
+    """The broadcast codebook path (k >= threshold) must produce
+    BIT-identical assignments to the literal path — same fold
+    arithmetic, same first-minimum tie rule — including NULL and
+    ragged (wrong-dim) vectors, which yield NULL cells on both."""
+    import random as _r
+    rng = _r.Random(11)
+    dim = 12
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(300)]
+    rows += [(900, None), (901, [0.25] * (dim - 2))]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(64)]
+    # duplicate centroid: the tie must break to the LOWER cell on both
+    cents[40] = list(cents[7])
+    lit = {r["vec_id"]: r["cell"] for r in
+           sim.ivf_assign(emb, cents, broadcast_threshold=10**9).collect()}
+    bc = {r["vec_id"]: r["cell"] for r in
+          sim.ivf_assign(emb, cents).collect()}
+    assert lit == bc
+    assert bc[900] is None and bc[901] is None
+    # the DataFrame-codebook form (lake-scale centroids) agrees too
+    cdf = sim.centroids_df(spark, cents)
+    dfp = {r["vec_id"]: r["cell"] for r in
+           sim.ivf_assign(emb, cdf).collect()}
+    assert dfp == lit
+
+
+def test_kmeans_fit_broadcast_matches_literal(spark):
+    """Training through broadcast rounds returns bit-identical centroids
+    to literal rounds (decimal sums + identical assignment per round)."""
+    rows = [(i, [((i * 7 + j * 13) % 97) / 97.0 for j in range(8)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    lit = sim.kmeans_fit(emb, k=20, iters=2, broadcast_threshold=10**9)
+    bc = sim.kmeans_fit(emb, k=20, iters=2)    # 20 >= 16 -> broadcast
+    assert lit == bc
+
+
+def test_ivf_topk_accepts_codebook_dataframe(spark):
+    """ivf_topk with a (cell, cvec) DataFrame must pick the same probe
+    cells and return the same rows as the driver-list form."""
+    rows = [(i, [((i * 5 + j * 3) % 31) / 31.0 for j in range(6)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[((b * 11 + j * 7) % 31) / 31.0 for j in range(6)]
+             for b in range(24)]
+    q = rows[5][1]
+    a = [(r["vec_id"], r["cell"]) for r in
+         sim.ivf_topk(emb, q, cents, k=5, nprobe=3).collect()]
+    b = [(r["vec_id"], r["cell"]) for r in
+         sim.ivf_topk(emb, q, sim.centroids_df(spark, cents),
+                      k=5, nprobe=3).collect()]
+    assert a == b and len(a) == 5
