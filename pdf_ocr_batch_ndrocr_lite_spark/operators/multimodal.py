@@ -1,9 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side mechanics — schema, Arrow batch shape, partitioning, UDF
-signatures — are real and tested; the actual media decode is STUBBED behind
-deterministic fakes because the image/audio codecs are not in this container
-(marked DECODE STUB below).  Swapping the stub for Pillow/ffmpeg-backed
+signatures — are real and tested.  Image METADATA is real too:
+`media_features` parses width/height/dpi straight from payload header
+bytes via the stdlib parsers in functions/image_meta.py (the full
+reference whitelist — jpeg/png/bmp/tiff/webp — with Pillow-parity
+density semantics), so an image column carries its true dimensions with
+no codec at all.  Only PIXEL-level work remains stubbed: the feature
+vector and audio/video frame decode derive from deterministic md5 fakes
+because the pixel codecs (Pillow/ffmpeg) are not in this container
+(marked DECODE STUB below).  Swapping the stub for a codec-backed
 decode changes no Spark plumbing.
 """
 
@@ -16,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_ocr_batch_ndrocr_lite_spark.functions import image_meta as _im
+
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, "
     "width int, height int, duration_ms int"
@@ -23,7 +31,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, digest string, "
-    "feature array<float>, n_frames int"
+    "feature array<float>, n_frames int, "
+    "fmt string, width int, height int, dpi double"
 )
 
 
@@ -55,13 +64,38 @@ def _fake_decode_features(payload: bytes, kind: str, dim: int = 8):
     return digest.hex(), feats, n_frames
 
 
+def _image_header_meta(raw: bytes, kind: str):
+    """Header-derived (fmt, width, height, dpi) for image payloads — real
+    metadata from real bytes (functions/image_meta.py, stdlib only).
+    Non-image kinds and image-claimed payloads that don't sniff/parse as
+    a whitelisted format come back all-NULL: metadata absence is data, a
+    curation pipeline filters on it (the reference raises per document,
+    app.py:1494; an action-row engine records and moves on)."""
+    if kind != "image":
+        return None, None, None, None
+    try:
+        meta = _im.prepare_image(raw)
+    except _im.ImageParseError:
+        return None, None, None, None
+    return (meta["format"], int(meta["width_px"]), int(meta["height_px"]),
+            float(meta["dpi_x"]))
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Vectorized feature extraction over binary media: one mapInPandas
     stage, Arrow-batched; batch size bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch so giant payloads never
-    blow executor memory."""
+    blow executor memory.
+
+    Image rows additionally carry REAL header metadata (fmt, width,
+    height, normalized dpi) parsed from the payload bytes — the
+    reference's ``_prepare_image`` semantics (app.py:1470-1520) with no
+    codec; only the pixel-level feature vector stays on the md5 stub.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "kind", "n_bytes", "digest", "feature",
+                "n_frames", "fmt", "width", "height", "dpi"]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -70,12 +104,13 @@ def media_features(media: DataFrame) -> DataFrame:
                                           pdf["payload"]):
                 raw = bytes(payload or b"")
                 digest, feats, n_frames = _fake_decode_features(raw, kind)
+                fmt, w, h, dpi = _image_header_meta(raw, kind)
                 out.append({
                     "media_id": mid, "kind": kind, "n_bytes": len(raw),
                     "digest": digest, "feature": feats, "n_frames": n_frames,
+                    "fmt": fmt, "width": w, "height": h, "dpi": dpi,
                 })
-            yield pd.DataFrame(out, columns=["media_id", "kind", "n_bytes",
-                                             "digest", "feature", "n_frames"])
+            yield pd.DataFrame(out, columns=cols)
 
     return media.select("media_id", "kind", "payload") \
         .mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -58,3 +58,40 @@ def test_summary_matches_inputs(spark):
     s = {r["kind"]: r for r in mm.media_summary(media).collect()}
     assert set(s) == {"image", "audio", "video"}
     assert sum(r["n_items"] for r in s.values()) == media.count()
+
+
+def test_media_features_image_header_metadata(spark):
+    """Image-kind payloads carry REAL header-parsed fmt/width/height/dpi
+    (functions/image_meta.py), one row per whitelisted format; non-image
+    kinds and unparseable image payloads come back all-NULL without
+    raising."""
+    from pdf_ocr_batch_ndrocr_lite_spark.functions import image_meta as im
+
+    rows = [
+        (0, "image", im.make_fake_jpeg(320, 240, dpi=96)),
+        (1, "image", im.make_fake_png(500, 400, dpi=300.0)),
+        (2, "image", im.make_fake_bmp(64, 48, dpi=96)),
+        (3, "image", im.make_fake_tiff(800, 600, dpi=200, unit=2)),
+        (4, "image", im.make_fake_webp(210, 160, variant="vp8l")),
+        (5, "image", b"\xff\xd8truncated"),       # sniffs jpeg, no SOF
+        (6, "audio", b"not an image at all"),
+        (7, "image", None),                        # NULL payload
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary")
+    got = {r["media_id"]: r for r in mm.media_features(media).collect()}
+    assert (got[0]["fmt"], got[0]["width"], got[0]["height"],
+            got[0]["dpi"]) == ("jpeg", 320, 240, 96.0)
+    assert got[1]["fmt"] == "png" and got[1]["width"] == 500
+    assert abs(got[1]["dpi"] - 11811 * 0.0254) < 1e-12
+    assert got[2]["fmt"] == "bmp"
+    assert abs(got[2]["dpi"] - 3780 / 39.3701) < 1e-12
+    assert (got[3]["fmt"], got[3]["dpi"]) == ("tiff", 200.0)
+    assert (got[4]["fmt"], got[4]["width"], got[4]["height"],
+            got[4]["dpi"]) == ("webp", 210, 160, 150.0)
+    for mid in (5, 6, 7):
+        r = got[mid]
+        assert r["fmt"] is None and r["width"] is None \
+            and r["height"] is None and r["dpi"] is None, r
+    # the md5 stub columns still populate for every row
+    assert all(len(got[m]["digest"]) == 32 for m in got)
