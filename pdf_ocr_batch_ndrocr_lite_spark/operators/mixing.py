@@ -58,6 +58,111 @@ def benchmark_decontaminate(docs: DataFrame, bench: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# FUZZY decontamination.  Exact whole-set overlap under-removes: benchmark
+# items circulate partially quoted, re-tokenized, embedded in larger pages
+# (the reason GPT-3's appendix C used 13-gram collision and FineWeb/Dolma
+# ship fuzzy passes).  The metric is per-(doc, bench-item) CONTAINMENT:
+#
+#     containment(doc, bench) = |shingles(doc) ∩ shingles(bench)|
+#                               / |shingles(bench)|
+#
+# Containment, not Jaccard, is the decontamination direction: a 200-word
+# benchmark item quoted inside a 5,000-word web page has tiny Jaccard but
+# containment ≈ 1 — exactly the leak to drop.  For the same reason,
+# minhash-LSH candidate generation is provably the WRONG filter here:
+# minhash bands approximate JACCARD, so the embedded-leak case almost
+# never band-collides (measured: an item embedded in 8× filler produced
+# zero band collisions at 4 hashes × 2 bands while its containment was
+# 1.0).  Candidate generation is therefore the GPT-3 shape — exact
+# k-gram collision against the benchmark shingle set — which cannot miss
+# any pair with containment > 0.
+#
+# 100-TB shape: the bench side (an eval suite) is small by construction
+# → its distinct (bench_id, shingle) set broadcasts, so the corpus scan
+# never shuffles its text; per-pair hit counting is one map-side-
+# combinable groupBy on (doc, bench) ids.  The skew guard is
+# ``max_bench_df``: a shingle present in more than that many bench items
+# (ubiquitous phrasing — "which of the following") carries no signal and
+# would fan every corpus row out across the whole suite; it is dropped
+# from BOTH the numerator and the denominator (containment is then over
+# informative shingles, the same kept-set discipline as
+# ngram_jaccard_pairs' DF cap).
+# ---------------------------------------------------------------------------
+
+
+def bench_shingle_index(bench: DataFrame, bench_id_col: str = "doc_id",
+                        bench_text_col: str = "text", k: int = 5,
+                        max_bench_df: int | None = None) -> DataFrame:
+    """Distinct (bench_id, shingle) index for a benchmark suite, with
+    the ubiquity cap applied — the PERSISTABLE half of fuzzy
+    decontamination (store it once per eval-suite version)."""
+    bsh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles_col(bench_text_col, k)))
+        .alias("shingle")).distinct()
+    if max_bench_df is not None:
+        keep = (bsh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_bench_df)
+                .select("shingle"))
+        bsh = bsh.join(F.broadcast(keep), "shingle", "left_semi")
+    return bsh
+
+
+def fuzzy_contamination_pairs(docs: DataFrame, bench: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              bench_id_col: str = "doc_id",
+                              bench_text_col: str = "text",
+                              k: int = 5,
+                              containment_threshold: float = 0.5,
+                              max_bench_df: int | None = None,
+                              bench_shingles: DataFrame | None = None
+                              ) -> DataFrame:
+    """(doc_id, bench_id, containment) for corpus docs containing at
+    least ``containment_threshold`` of some benchmark item's k-gram
+    shingles.
+
+    ``bench_shingles``: a pre-built distinct (bench_id, shingle) frame
+    (the output of :func:`bench_shingle_index`) so a pipeline
+    decontaminating every snapshot against a fixed eval suite shingles
+    the suite once, not per run.  The containment division is a single
+    IEEE op (oracle contract)."""
+    bsh = (bench_shingles if bench_shingles is not None
+           else bench_shingle_index(bench, bench_id_col, bench_text_col,
+                                    k, max_bench_df))
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("shingle"))
+    bsizes = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("_bn"))
+    inter = (dsh.join(F.broadcast(bsh), "shingle")
+             .groupBy(id_col, "bench_id")
+             .agg(F.count(F.lit(1)).alias("_c")))
+    return (inter.join(F.broadcast(bsizes), "bench_id")
+            .select(F.col(id_col), F.col("bench_id"),
+                    (F.col("_c").cast("double") / F.col("_bn"))
+                    .alias("containment"))
+            .filter(F.col("containment") >= containment_threshold))
+
+
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_id_col: str = "doc_id",
+                        bench_text_col: str = "text", k: int = 5,
+                        containment_threshold: float = 0.5,
+                        max_bench_df: int | None = None,
+                        bench_shingles: DataFrame | None = None
+                        ) -> DataFrame:
+    """Corpus minus fuzzy-contaminated documents (anti-join on the
+    verified pair frame)."""
+    pairs = fuzzy_contamination_pairs(
+        docs, bench, id_col, text_col, bench_id_col, bench_text_col,
+        k, containment_threshold, max_bench_df, bench_shingles)
+    return docs.join(pairs.select(id_col).distinct(), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chunk assignment of documents to
 # fixed-token-budget training sequences, per shard.  The window is
 # PARTITIONED (by the shard key) — packing is per-shard in every real

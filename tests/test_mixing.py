@@ -392,3 +392,86 @@ def test_training_shards_is_a_seeded_permutation(spark):
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
     with pytest.raises(ValueError, match="n_shards"):
         mx.training_shards(docs, n_shards=0)
+
+
+def _fuzzy_frames(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [
+        (1, filler + " " + bench_text + " " + filler),  # embedded leak
+        (2, "completely different content about spark and parquet "
+            + " ".join(f"z{i}" for i in range(50))),
+        (3, bench_text),                                 # verbatim copy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id int, text string")
+    return docs, bench
+
+
+def test_fuzzy_contamination_catches_embedded_benchmark(spark):
+    """The motivating case: a benchmark item quoted inside a much
+    larger page has tiny Jaccard but containment 1.0 — fuzzy
+    decontamination must drop it (the case a minhash-LSH candidate
+    filter provably misses; see the mixing.py module note)."""
+    docs, bench = _fuzzy_frames(spark)
+    pairs = {(r["doc_id"], r["bench_id"]): r["containment"]
+             for r in mx.fuzzy_contamination_pairs(
+                 docs, bench, k=3, containment_threshold=0.5).collect()}
+    assert pairs[(1, 100)] == 1.0      # embedded leak: full containment
+    assert pairs[(3, 100)] == 1.0      # verbatim copy
+    assert not any(d == 2 for d, _ in pairs)
+    kept = sorted(r["doc_id"] for r in mx.fuzzy_decontaminate(
+        docs, bench, k=3, containment_threshold=0.5).collect())
+    assert kept == [2]
+
+
+def test_fuzzy_contamination_partial_quote_threshold(spark):
+    """A page quoting only part of the item sits below a high threshold
+    and above a low one — the fuzziness exact min_overlap lacks."""
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    half_quote = "intro words " + "alpha bravo charlie delta" + " outro"
+    docs = spark.createDataFrame([(1, half_quote)],
+                                 "doc_id int, text string")
+    bench = spark.createDataFrame([(9, bench_text)],
+                                  "doc_id int, text string")
+    got = mx.fuzzy_contamination_pairs(
+        docs, bench, k=2, containment_threshold=0.9).collect()
+    assert got == []
+    got = mx.fuzzy_contamination_pairs(
+        docs, bench, k=2, containment_threshold=0.3).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+
+
+def test_fuzzy_contamination_bench_df_cap(spark):
+    """A shingle present in > max_bench_df bench items is dropped from
+    numerator AND denominator; item-specific shingles still count."""
+    common = "which of the following"
+    bench_rows = [(i, common + f" unique{i} tail{i}") for i in range(5)]
+    bench = spark.createDataFrame(bench_rows, "doc_id int, text string")
+    # doc shares ONLY the ubiquitous phrase with every item
+    docs = spark.createDataFrame(
+        [(1, "some page asking " + common + " nothing else")],
+        "doc_id int, text string")
+    capped = mx.fuzzy_contamination_pairs(
+        docs, bench, k=3, containment_threshold=0.01,
+        max_bench_df=2).collect()
+    assert capped == []                 # signal-free overlap removed
+    uncapped = mx.fuzzy_contamination_pairs(
+        docs, bench, k=3, containment_threshold=0.01).collect()
+    assert len(uncapped) == 5           # without the cap it fans out
+
+
+def test_fuzzy_contamination_prebuilt_bench_index(spark):
+    """A persisted bench shingle index must reproduce the from-scratch
+    result (the shingle-the-suite-once path)."""
+    docs, bench = _fuzzy_frames(spark)
+    idx = mx.bench_shingle_index(bench, "doc_id", "text", k=3)
+    a = sorted((r["doc_id"], r["bench_id"], r["containment"]) for r in
+               mx.fuzzy_contamination_pairs(
+                   docs, bench, k=3, containment_threshold=0.5).collect())
+    b = sorted((r["doc_id"], r["bench_id"], r["containment"]) for r in
+               mx.fuzzy_contamination_pairs(
+                   docs, bench, k=3, containment_threshold=0.5,
+                   bench_shingles=idx).collect())
+    assert a == b and a
