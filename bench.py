@@ -102,21 +102,27 @@ def bench_queries(spark):
     # batch/corpus split, stage-count-bound at ~30 s).
     single_shot = ["q59_dup_clusters", "q60_cluster_keep_best",
                    "q61_transitive_dedup", "q71_stream_batch_dedup"]
+    # bench hygiene (round 7): build-once fixture caches are warmed
+    # OUTSIDE the timed window — a driver run on a fresh /tmp otherwise
+    # pays q40/q41 corpus synthesis inside the first repeat (the
+    # BENCH_r06 phantom 2.9x q41 "regression")
+    entrymod.warm_fixture_caches(spark, SF_DIR)
     qs = entrymod.queries()
-    out = {}
+    out, raw = {}, {}
     for name in picks:
-        best = None
+        reps = []
         for _ in range(2):  # best-of-2: shared-VM noise is up to 2-3x
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        out[name] = round(best, 3)
+            reps.append(round(time.perf_counter() - t0, 3))
+        out[name] = min(reps)
+        raw[name] = reps
     for name in single_shot:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        raw[name] = [out[name]]
+    return out, raw
 
 
 def bench_clustering_fixed(spark):
@@ -164,7 +170,7 @@ def main() -> None:
     # consistently recovers the true plateau
     ext_sec, docs, pages = bench_extraction(spark, n_docs, CPUS * 2,
                                             repeats=3)
-    qtimes = bench_queries(spark)
+    qtimes, qraw = bench_queries(spark)
     qtimes.update(bench_clustering_fixed(spark))
     spark.stop()
 
@@ -174,6 +180,10 @@ def main() -> None:
         "unit": "sec",
         "sf": SF,
         "queries": {"extraction_pipeline": round(ext_sec, 3), **qtimes},
+        # every raw repeat per pick: a single slow repeat (cold cache,
+        # host-noise spike) is visible as [slow, fast] instead of
+        # masquerading as a regression of the pick
+        "query_repeats": qraw,
         "docs": docs,
         "pages": pages,
         "docs_per_sec": round(docs / ext_sec, 1),

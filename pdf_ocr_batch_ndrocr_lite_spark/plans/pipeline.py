@@ -120,6 +120,12 @@ def run_pipeline(
     storage = storage or StorageAdapter()
 
     if checkpoint_path:
+        # run-config meta row (reference CSV meta header, app.py:1115-1142)
+        # + key-universe continuity guard — BEFORE the anti-join, so a
+        # wrong-num_buckets resume fails fast instead of mis-keying
+        ck.commit_run_meta(spark, checkpoint_path, storage,
+                           spark.sparkContext.appName, num_buckets,
+                           num_partitions)
         todo = ck.pending_only(pages_df, spark, checkpoint_path, storage,
                                num_buckets)
     else:

@@ -172,3 +172,39 @@ def test_merge_upsert_accepts_file_scheme(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         st.merge_upsert(spark, "s3://bucket/ckpt", df1, ["k"], "ts")
+
+
+def test_run_meta_written_and_continuity_enforced(spark, tmp_path):
+    """Run-config meta rows (the reference CSV meta header re-expressed,
+    app.py:1115-1142): every run appends one row; a resume with a
+    different num_buckets — a different partition_key universe — must
+    fail fast instead of mis-keying the anti-join."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "extractions")
+    ckpt = str(tmp_path / "checkpoint")
+    storage = StorageAdapter()
+    df = corpus_df(spark, 60, seed=SEED, partitions=4)
+
+    run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                 storage=storage, num_buckets=16)
+    meta = spark.read.parquet(ck.meta_path(ckpt))
+    rows = meta.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["num_buckets"] == 16 and r["app_name"]
+    assert len(r["code_version"]) == 12 and r["created_at"] is not None
+
+    # resume with the SAME config: appends a second row, same hash
+    run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                 storage=storage, num_buckets=16)
+    rows2 = spark.read.parquet(ck.meta_path(ckpt)).collect()
+    assert len(rows2) == 2
+    assert len({x["config_hash"] for x in rows2}) == 1
+
+    # resume with a DIFFERENT key universe: hard error before any work
+    with _pytest.raises(ValueError, match="num_buckets"):
+        run_pipeline(spark, df, output_path=out, checkpoint_path=ckpt,
+                     storage=storage, num_buckets=32)
+    # nothing extra was appended by the failed attempt
+    assert spark.read.parquet(ck.meta_path(ckpt)).count() == 2
