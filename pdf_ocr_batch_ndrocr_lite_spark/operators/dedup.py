@@ -506,6 +506,14 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         # composed plan stays FLAT: all copies read the same
         # post-barrier parquet relation, so planning cost is constant
         # per round (no iterative lineage growth).
+        #
+        # A SECOND nbr hop per round (two-hop neighbor min) was A/B'd
+        # in round 7 and rejected: q59 graph 14 → 8 rounds but only
+        # 9.19 → 8.37 s, while the 200k-chain fixed graph kept 5
+        # rounds and BLEW UP 12.4 → 51.6 s (the extra hop re-runs the
+        # first hop's aggregation unbarriered over the full edge list
+        # — pure added shuffle where convergence is already
+        # jump-bound).  Numbers in BASELINE.md round 7.
         j1 = _resolve(labels)
         jump = _resolve(j1).withColumnRenamed("label", "_jmp")
         upd = _barrier(
