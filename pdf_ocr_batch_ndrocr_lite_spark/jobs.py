@@ -49,6 +49,13 @@ def parse_args(argv):
     p.add_argument("--num-partitions", type=int, default=0,
                    help="extraction-stage partitions (0 = shuffle default)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--ocr-engine", default=None,
+                   choices=["fake", "fake-text"],
+                   help="close the needs_ocr route through an engine "
+                        "inside the extraction stage: 'fake' = the "
+                        "deterministic JSON engine, 'fake-text' = the "
+                        "TXT-only variant (a real engine plugs in via "
+                        "run_pipeline(ocr_engine=...))")
     # corpus-curation mode: --input is a DOCUMENTS table (doc_id, text,
     # lang); runs verdict -> near-dup -> [decontam] -> [mixing] instead of
     # the extraction pipeline
@@ -171,6 +178,12 @@ def main(argv=None) -> int:
     else:
         pages = spark.read.parquet(args.input)
 
+    engine = None
+    if args.ocr_engine:
+        from .operators import ocr_engine as oe
+        engine = (oe.text_only_fake_engine if args.ocr_engine == "fake-text"
+                  else oe.deterministic_fake_engine)
+
     t0 = time.perf_counter()
     totals = run_pipeline(
         spark, pages,
@@ -179,6 +192,7 @@ def main(argv=None) -> int:
         storage=storage,
         num_buckets=args.num_buckets,
         num_partitions=args.num_partitions,
+        ocr_engine=engine,
     )
     totals["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(totals))

@@ -107,6 +107,7 @@ def run_pipeline(
     storage: Optional[StorageAdapter] = None,
     num_buckets: int = ck.DEFAULT_NUM_BUCKETS,
     num_partitions: int = 0,
+    ocr_engine=None,
 ) -> Dict[str, int]:
     """Run the extraction job; returns run-level counters.
 
@@ -116,6 +117,14 @@ def run_pipeline(
     in the window between the output commit and the lineage commit cannot
     duplicate rows — the restart recomputes the unfinished keys and each
     key's output REPLACES whatever the interrupted run left behind.
+
+    ``ocr_engine``: an engine callable (operators/ocr_engine.EngineFn).
+    When given, documents the dispatcher routes ``needs_ocr`` continue
+    straight into the engine inside the same vectorized stage
+    (operators/ocr_engine.extract_with_ocr), closing the reference's
+    route → engine → parse → serialize loop (app.py:2790-2859) with no
+    extra scan or shuffle; the plan shape and every counter/lineage/
+    sink path are otherwise identical.
     """
     storage = storage or StorageAdapter()
 
@@ -131,7 +140,12 @@ def run_pipeline(
     else:
         todo = ck.with_partition_key(pages_df, num_buckets)
 
-    results = ex.run_extraction(todo, num_partitions=num_partitions)
+    if ocr_engine is not None:
+        from ..operators.ocr_engine import extract_with_ocr
+        results = extract_with_ocr(todo, engine=ocr_engine,
+                                   num_partitions=num_partitions)
+    else:
+        results = ex.run_extraction(todo, num_partitions=num_partitions)
 
     def _totals(df: DataFrame) -> Dict[str, int]:
         row = df.groupBy().agg(

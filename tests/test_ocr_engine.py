@@ -132,3 +132,31 @@ def test_text_only_engine_blocks_path(spark):
     assert r["extracted_text"] == "\n\n".join(
         f"x{d[:8]}x t{i + 1}" for i in range(3))
     assert r["block_count"] == 3 and r["token_count"] == 0
+
+
+def test_run_pipeline_with_engine(spark, tmp_path):
+    """Product-level closure: run_pipeline(ocr_engine=...) extracts the
+    needs_ocr rows through the engine — counters move from needs_ocr to
+    extracted, sink rows grow accordingly, resume still works."""
+    from pdf_ocr_batch_ndrocr_lite_spark.plans.pipeline import run_pipeline
+    from pdf_ocr_batch_ndrocr_lite_spark.sources.storage import StorageAdapter
+
+    pages = corpus_df(spark, 200, seed=SEED, partitions=4)
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "engine")
+    st = StorageAdapter()
+    plain = run_pipeline(spark, pages, output_path=out_a,
+                         checkpoint_path=str(tmp_path / "ck_a"), storage=st)
+    closed = run_pipeline(spark, pages, output_path=out_b,
+                          checkpoint_path=str(tmp_path / "ck_b"), storage=st,
+                          ocr_engine=oe.deterministic_fake_engine)
+    assert plain["needs_ocr"] > 0 and closed["needs_ocr"] == 0
+    assert closed["extracted"] == plain["extracted"] + plain["needs_ocr"]
+    for key in ("docs", "skip_name", "skip_has_text", "parse_failures"):
+        assert closed[key] == plain[key], key
+    assert spark.read.parquet(out_b).count() == closed["extracted"]
+    # resume: second run does nothing
+    again = run_pipeline(spark, pages, output_path=out_b,
+                         checkpoint_path=str(tmp_path / "ck_b"), storage=st,
+                         ocr_engine=oe.deterministic_fake_engine)
+    assert again["docs"] == 0
