@@ -405,3 +405,117 @@ def ivf_topk(emb: DataFrame, query: Sequence[float],
                                cos.alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)) \
         .select(id_col, "cell", "cosine").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Batched k-NN JOIN: top-k nearest corpus vectors for EVERY row of a
+# queries table (vs ivf_topk's single driver-side query).  This is the
+# operator a training-data pipeline actually runs at scale — retrieval
+# dedup across corpora, hard-negative mining, embedding-space
+# decontamination — and a naive formulation is a queries × corpus cross
+# join, which must never exist.  Shape:
+#
+#   corpus → broadcast-codebook cell assignment   (zero shuffle)
+#   queries → per-row nprobe nearest cells        (zero shuffle, HOF
+#             array_sort over the same broadcast codebook row; the
+#             probe rule equals ivf_topk's (dist, cell) ordering)
+#   join on cell through the salted two-sided guard (a degenerate
+#             quantizer cell is split, never a straggler task)
+#   exact left-fold cosine + per-query row_number ≤ k
+#
+# Two real exchanges total (the cell join and the per-query window) —
+# both keyed, both bounded by candidate volume (nprobe/cells of the
+# corpus per query), never by |queries| × |corpus|.
+# ---------------------------------------------------------------------------
+
+
+def query_probe_cells_df(queries: DataFrame, cents: DataFrame,
+                         id_col: str = "query_id",
+                         vec_col: str = "embedding",
+                         nprobe: int = 2) -> DataFrame:
+    """(id, cell): each query row's ``nprobe`` nearest centroid cells —
+    the per-ROW twin of `query_probe_cells`, via the one-row broadcast
+    codebook.  array_sort on (dist, cell) structs reproduces the
+    (dist asc, cell asc) probe ordering exactly.  Queries whose vector
+    is NULL/ragged produce NULL distances and are dropped (no cells to
+    probe — same contract as `ivf_assign`'s NULL cell)."""
+    joined = queries.select(F.col(id_col), F.col(vec_col)) \
+        .join(F.broadcast(_packed_codebook(cents)))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _sq_dist_col(F.col(vec_col), c["cvec"]).alias("dist"),
+            c["cell"].alias("cell")))
+    probes = F.slice(F.array_sort(scored), 1, max(1, int(nprobe)))
+    # stage the HOF result: referenced once here but explode must not
+    # re-evaluate k folds per output row (HOFs are never CSE'd)
+    staged = joined.select(F.col(id_col), probes.alias("_p"))
+    return (staged.select(F.col(id_col), F.explode("_p").alias("_pc"))
+            .filter(F.col("_pc.dist").isNotNull())
+            .select(F.col(id_col), F.col("_pc.cell").alias("cell")))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, centroids,
+             k: int = 10, nprobe: int = 2,
+             query_id_col: str = "query_id",
+             corpus_id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             bucket_cap: int = 100_000,
+             max_salts: int = 64) -> DataFrame:
+    """(query_id, corpus_id, cosine, rank): the ``k`` highest-cosine
+    corpus vectors per query among the query's ``nprobe`` IVF cells.
+
+    ``centroids``: driver list or (cell, cvec) DataFrame codebook (from
+    `centroids_df` / `kmeans_fit`).  Ranking is (cosine desc,
+    corpus_id asc) — deterministic under ties; zero-norm corpus rows
+    score NULL and are excluded before ranking on both engines (Spark
+    and the DuckDB oracle disagree on NULL placement under DESC, so
+    NULL candidates must never reach the window)."""
+    from .dedup import salted_two_sided_join
+
+    cents = (centroids if isinstance(centroids, DataFrame)
+             else centroids_df(queries.sparkSession, centroids))
+
+    # corpus side: broadcast-codebook cell assignment WITH the payload
+    # (re-joining a separate (id, cell) frame would scan the corpus
+    # twice) + the norm once per row
+    cjoined = corpus.select(F.col(corpus_id_col), F.col(vec_col)) \
+        .join(F.broadcast(_packed_codebook(cents)))
+    cbest = F.array_min(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _sq_dist_col(F.col(vec_col), c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"))))
+    cstaged = cjoined.select(F.col(corpus_id_col),
+                             F.col(vec_col).alias("_cv"),
+                             cbest.alias("_best"))
+    cside = (cstaged
+             .filter(F.col("_best")["dist"].isNotNull())
+             .select(F.col(corpus_id_col),
+                     F.col("_cv"),
+                     _norm(F.col("_cv")).alias("_cn"),
+                     F.col("_best")["cell"].cast("int").alias("cell")))
+
+    qprobes = query_probe_cells_df(queries, cents, query_id_col,
+                                   vec_col, nprobe)
+    qside = (queries.select(F.col(query_id_col),
+                            F.col(vec_col).alias("_qv"),
+                            _norm(F.col(vec_col)).alias("_qn"))
+             .join(qprobes, query_id_col))
+
+    # a corpus row owns exactly ONE cell and a query's probe cells are
+    # distinct, so each (query, corpus) pair can match at most once —
+    # no post-join distinct needed
+    joined = salted_two_sided_join(qside, cside, ["cell"], corpus_id_col,
+                                   bucket_cap, max_salts)
+    den = F.col("b._cn") * F.col("a._qn")
+    cos = F.when(den > 0, _dot(F.col("a._qv"), F.col("b._cv")) / den)
+    scored = (joined.select(
+        F.col(f"a.{query_id_col}").alias(query_id_col),
+        F.col(f"b.{corpus_id_col}").alias(corpus_id_col),
+        cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull()))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k)))

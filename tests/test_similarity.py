@@ -581,3 +581,77 @@ def test_ivf_topk_accepts_codebook_dataframe(spark):
          sim.ivf_topk(emb, q, sim.centroids_df(spark, cents),
                       k=5, nprobe=3).collect()]
     assert a == b and len(a) == 5
+
+
+def _knn_frames(spark):
+    import random as _r
+    rng = _r.Random(7)
+    dim = 8
+    qrows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+             for i in range(12)]
+    crows = [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+             for i in range(80)]
+    crows += [(900, None), (901, [0.0] * dim)]   # null + zero-norm
+    q = spark.createDataFrame(qrows, "query_id int, embedding array<double>")
+    c = spark.createDataFrame(crows, "vec_id int, embedding array<double>")
+    cents = [list(crows[i][1]) for i in range(6)]
+    return q, c, cents, qrows, crows
+
+
+def test_knn_join_full_probe_matches_bruteforce(spark):
+    """With nprobe = n_cells every candidate survives the cell filter,
+    so the join must equal exact per-query cosine top-k."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators.vecmath import (
+        dot as _d,  # noqa: F401 — exact kernel import sanity
+    )
+    q, c, cents, qrows, crows = _knn_frames(spark)
+    got = {}
+    for r in sim.knn_join(q, c, cents, k=4, nprobe=6).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na > 0 and nb > 0 else None
+
+    for qid, qv in qrows:
+        scored = sorted(
+            ((cos(qv, cv), cid) for cid, cv in crows
+             if cv is not None and cos(qv, cv) is not None),
+            key=lambda t: (-t[0], t[1]))[:4]
+        expect = [(i + 1, cid) for i, (_, cid) in enumerate(scored)]
+        assert [(rk, cid) for rk, cid, _ in sorted(got[qid])] == expect, qid
+    # null/zero-norm corpus rows never appear
+    all_ids = {cid for lst in got.values() for _, cid, _ in lst}
+    assert 900 not in all_ids and 901 not in all_ids
+
+
+def test_knn_join_cap_invariance_and_codebook_df(spark):
+    q, c, cents, _, _ = _knn_frames(spark)
+    base = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in
+                  sim.knn_join(q, c, cents, k=3, nprobe=2).collect())
+    salted = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in
+                    sim.knn_join(q, c, cents, k=3, nprobe=2,
+                                 bucket_cap=1, max_salts=4).collect())
+    cdf = sim.centroids_df(spark, cents)
+    viadf = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in
+                   sim.knn_join(q, c, cdf, k=3, nprobe=2).collect())
+    assert base == salted == viadf and base
+
+
+def test_knn_join_plan_no_cartesian(spark):
+    """The join must be cell-keyed — no CartesianProduct /
+    BroadcastNestedLoopJoin between queries and corpus (the 1-row
+    codebook BNLJ is the only allowed one) and the codebook must
+    broadcast."""
+    q, c, cents, _, _ = _knn_frames(spark)
+    plan = sim.knn_join(q, c, cents, k=3, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan
+    # every BNLJ in the plan is a 1-row codebook attach; the q-c join
+    # itself is a hash join on the cell key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
