@@ -475,3 +475,104 @@ def training_shards(docs: DataFrame, n_shards: int, seed: str = "0",
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return (keyed.withColumn("pos", F.row_number().over(w) - 1)
             .select(id_col, "shard", "pos"))
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (the GPT-3 appendix-C "remove a window around
+# the collision" shape): instead of DROPPING a lightly-contaminated
+# document, locate the leaked word ranges and strip them, keeping the
+# rest.  A 5,000-word page quoting one benchmark item loses ~200 words,
+# not the whole page — at corpus scale that is real yield.
+#
+# Mechanics (all JVM-side): positional shingles (posexplode) collide
+# against the capped bench shingle set; colliding shingle p covers words
+# [p, p+k-1] (± `pad` context words); covered indices merge into maximal
+# spans by gaps-and-islands (widx − row_number constant within an
+# island); stripping rebuilds the text from the word array minus covered
+# indices.  The per-doc covered set rides an array through one join —
+# bounded by leak size, not document size.
+# ---------------------------------------------------------------------------
+
+
+def contaminated_spans(docs: DataFrame, bench: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bench_id_col: str = "doc_id",
+                       bench_text_col: str = "text", k: int = 5,
+                       pad: int = 0,
+                       max_bench_df: int | None = None,
+                       bench_shingles: DataFrame | None = None
+                       ) -> DataFrame:
+    """(doc_id, span_start, span_end, span_words): maximal 0-based word
+    ranges (inclusive) covered by benchmark-colliding k-gram shingles,
+    each expanded by ``pad`` context words and clamped to the document."""
+    from .dedup import _words
+
+    bsh = (bench_shingles if bench_shingles is not None
+           else bench_shingle_index(bench, bench_id_col, bench_text_col,
+                                    k, max_bench_df)).select("shingle") \
+        .distinct()
+    n_words = F.size(_words(text_col))
+    # positional shingles: pos p covers words [p, p+k-1]; the shingle
+    # array is staged in its own projection before the posexplode
+    psh = (docs.select(F.col(id_col), n_words.alias("_nw"),
+                       shingles_col(text_col, k).alias("_sh"))
+           .select(F.col(id_col), F.col("_nw"),
+                   F.posexplode("_sh").alias("_p", "shingle")))
+    hits = psh.join(F.broadcast(bsh), "shingle", "left_semi")
+    covered = (hits.select(
+        F.col(id_col), 
+        F.explode(F.sequence(
+            F.greatest(F.col("_p") - pad, F.lit(0)),
+            F.least(F.col("_p") + k - 1 + pad, F.col("_nw") - 1)))
+        .alias("widx"))
+        .distinct())
+    w = Window.partitionBy(id_col).orderBy("widx")
+    grouped = covered.withColumn(
+        "_grp", F.col("widx") - F.row_number().over(w))
+    return (grouped.groupBy(id_col, "_grp")
+            .agg(F.min("widx").alias("span_start"),
+                 F.max("widx").alias("span_end"))
+            .select(F.col(id_col), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_words")))
+
+
+def strip_contamination(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_id_col: str = "doc_id",
+                        bench_text_col: str = "text", k: int = 5,
+                        pad: int = 0,
+                        max_bench_df: int | None = None,
+                        bench_shingles: DataFrame | None = None
+                        ) -> DataFrame:
+    """``docs`` with leaked word ranges removed from ``text_col`` (plus
+    ``n_stripped_words``).  Output text is whitespace-normalized (a
+    single space between surviving words) — stripping operates on the
+    word sequence, the same tokenization every shingle op here uses.
+    Clean documents pass through with their text UNCHANGED apart from
+    that normalization only when touched: docs with no collision keep
+    their original text byte-for-byte (left join, coalesce)."""
+    from .dedup import _words
+
+    spans = contaminated_spans(docs, bench, id_col, text_col,
+                               bench_id_col, bench_text_col, k, pad,
+                               max_bench_df, bench_shingles)
+    covered = (spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("widx"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("widx")).alias("_cov")))
+    joined = docs.join(covered, id_col, "left")
+    words = _words(text_col)
+    kept = F.filter(
+        F.transform(words, lambda wd, i: F.struct(wd.alias("w"),
+                                                  i.alias("i"))),
+        lambda s: ~F.array_contains(F.col("_cov"), s["i"]))
+    stripped = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    out_text = F.when(F.col("_cov").isNull(), F.col(text_col)) \
+        .otherwise(stripped)
+    n_stripped = F.coalesce(F.size("_cov"), F.lit(0))
+    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    return joined.select(
+        F.col(id_col), *others, out_text.alias(text_col),
+        n_stripped.alias("n_stripped_words"))

@@ -475,3 +475,46 @@ def test_fuzzy_contamination_prebuilt_bench_index(spark):
                    docs, bench, k=3, containment_threshold=0.5,
                    bench_shingles=idx).collect())
     assert a == b and a
+
+
+def _span_frames(spark):
+    bench_text = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame([
+        (1, "w0 w1 w2 alpha bravo charlie delta echo foxtrot w9 w10 w11"),
+        (2, "clean page nothing shared here at all"),
+        (3, "alpha bravo charlie delta echo foxtrot"),       # whole doc
+        (4, "x0 alpha bravo charlie x4 x5 x6 x7 x8 delta echo foxtrot "
+            "x12"),                                          # two leaks
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame([(9, bench_text)],
+                                  "doc_id int, text string")
+    return docs, bench
+
+
+def test_contaminated_spans_islands_and_clamp(spark):
+    docs, bench = _span_frames(spark)
+    spans = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                   for r in mx.contaminated_spans(docs, bench,
+                                                  k=3).collect())
+    # doc 1: words 3-8; doc 3: whole 0-5; doc 4: two DISJOINT islands
+    assert spans == [(1, 3, 8), (3, 0, 5), (4, 1, 3), (4, 9, 11)]
+    # pad expands and clamps to the document bounds
+    padded = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                    for r in mx.contaminated_spans(docs, bench, k=3,
+                                                   pad=2).collect())
+    assert (3, 0, 5) in padded           # clamped at both ends
+    assert (1, 1, 10) in padded
+
+
+def test_strip_contamination_keeps_clean_text_verbatim(spark):
+    docs, bench = _span_frames(spark)
+    out = {r["doc_id"]: r for r in
+           mx.strip_contamination(docs, bench, k=3).collect()}
+    assert out[1]["text"] == "w0 w1 w2 w9 w10 w11"
+    assert out[1]["n_stripped_words"] == 6
+    # untouched doc: text byte-identical, zero stripped
+    assert out[2]["text"] == "clean page nothing shared here at all"
+    assert out[2]["n_stripped_words"] == 0
+    # fully-leaked doc empties (a later min-length filter drops it)
+    assert out[3]["text"] == "" and out[3]["n_stripped_words"] == 6
+    assert out[4]["text"] == "x0 x4 x5 x6 x7 x8 x12"
