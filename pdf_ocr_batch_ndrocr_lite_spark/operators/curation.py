@@ -339,3 +339,26 @@ def quality_percentile_cut(docs: DataFrame, id_col: str = "doc_id",
     return (scored.join(F.broadcast(cut), stratum_col)
             .filter(F.col("quality") >= F.col("_cut"))
             .select(id_col, stratum_col, "quality"))
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """One document per CANONICAL url, first-wins by lowest id — the
+    first dedup stage of every crawl pipeline: recrawls, tracking-param
+    variants, fragment links, and trailing-slash twins collapse before
+    any content hashing runs (canonicalization is pure projection, the
+    dedup key never ships the text).
+
+    Window-row_number over the canonical key, same shape as
+    dedup.exact_dedup: at lake scale the canonical-url key space is
+    high-cardinality and near-uniform (a url maps to a handful of
+    recrawls), so the window shuffle has no hot-key hazard — unlike
+    line-level dedup, where a combining agg was required because one
+    boilerplate line can cover a large corpus fraction.  Adds
+    ``canon_url`` to the output."""
+    canon = canonicalize_url(F.col(url_col))
+    keyed = docs.withColumn("canon_url", canon)
+    w = Window.partitionBy("canon_url").orderBy(F.col(id_col))
+    return (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

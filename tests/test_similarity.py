@@ -316,6 +316,30 @@ def test_per_domain_cap_psl_vs_host(spark):
     assert host.count() == 6  # every host unique: cap never binds
 
 
+def test_url_dedup_collapses_recrawl_variants(spark):
+    """Five crawl variants of one page (case-folded host, tracking
+    params, fragment, trailing slash, plain) collapse to the lowest
+    doc_id; a genuinely different page survives independently."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    rows = [
+        (0, "HTTPS://WWW.Example.ORG/p/1"),
+        (1, "https://www.example.org/p/1?utm_source=feed&gclid=z"),
+        (2, "https://www.example.org/p/1#nav"),
+        (3, "https://www.example.org/p/1/"),
+        (4, "https://www.example.org/p/1"),
+        (5, "https://www.example.org/p/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = sorted((r["doc_id"], r["canon_url"])
+                 for r in cu.url_dedup(df).collect())
+    assert got == [
+        (0, "https://www.example.org/p/1"),
+        (5, "https://www.example.org/p/2"),
+    ]
+    # survivors keep every input column plus the canonical key
+    assert set(cu.url_dedup(df).columns) == {"doc_id", "url", "canon_url"}
+
+
 # --- BLAS kernel (tolerance-verified fast path) ---------------------------
 
 
