@@ -1,0 +1,75 @@
+"""Link-graph operators: outlink extraction, in-degree, fixed-point
+PageRank (hand-computed oracle + invariants)."""
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_batch_ndrocr_lite_spark.operators import linkgraph as lg
+
+
+def test_extract_outlinks_absolute_only(spark):
+    """Absolute http(s) anchors come out in document order; relative
+    links and non-anchor urls are ignored; duplicate anchors kept."""
+    rows = [
+        ("p1", '<a href="https://a.org/x">1</a>'
+               '<a href="/rel">2</a>'
+               '<a href="http://b.org/">3</a>'
+               '<a href="https://a.org/x">4</a>'
+               '<img src="https://img.org/i.png">'),
+        ("p2", "no links here"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [(r["url"], r["target"])
+           for r in lg.extract_outlinks(df).collect()]
+    assert got == [("p1", "https://a.org/x"), ("p1", "http://b.org/"),
+                   ("p1", "https://a.org/x")]
+    counts = {r["target"]: r["inlinks"]
+              for r in lg.inlink_counts(lg.extract_outlinks(df)).collect()}
+    assert counts == {"https://a.org/x": 2, "http://b.org/": 1}
+
+
+def test_pagerank_hand_computed_one_round(spark):
+    """scale=1000, N=3, d=85/100, edges 0->1, 0->2, 1->2 (node 2
+    dangling).  r0 = 333 each; contribs: 0 sends 333 div 2 = 166 to
+    1 and 2, 1 sends 333 to 2.  base = ((1000*15)//100)//3 = 50.
+    r1(0)=50, r1(1)=50+(85*166)//100=191, r1(2)=50+(85*499)//100=474."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long")
+    got = {r["id"]: r["rank"]
+           for r in lg.pagerank(edges, iterations=1, scale=1000).collect()}
+    assert got == {0: 50, 1: 191, 2: 474}
+
+
+def test_pagerank_mass_bounded_and_deterministic(spark):
+    """On a graph with no dangling nodes total mass stays within
+    truncation loss of `scale`; two partitionings agree bit-for-bit."""
+    n = 50
+    rows = [(i, (i * 13 + k) % n) for i in range(n) for k in (1, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long").distinct()
+    r1 = lg.pagerank(edges, num_nodes=n, iterations=4)
+    total = sum(r["rank"] for r in r1.collect())
+    # truncation deficit recursion: d' <= 0.85 d + (2N + E); with
+    # N=50, E=100 that is < 650 after 4 rounds — assert with headroom
+    assert 10 ** 12 - total < 1000
+    r2 = lg.pagerank(edges.repartition(7), num_nodes=n, iterations=4)
+    assert sorted(map(tuple, r1.collect())) == \
+        sorted(map(tuple, r2.collect()))
+
+
+def test_pagerank_scratch_barrier_matches_symbolic(spark, tmp_path):
+    """The per-round parquet barrier changes the physical plan only —
+    identical ranks with and without scratch_dir."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 1)], "src long, dst long")
+    sym = sorted(map(tuple, lg.pagerank(edges, iterations=3).collect()))
+    bar = sorted(map(tuple, lg.pagerank(
+        edges, iterations=3, scratch_dir=str(tmp_path)).collect()))
+    assert sym == bar
+
+
+def test_pagerank_validates_inputs(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    import pytest
+    with pytest.raises(ValueError):
+        lg.pagerank(edges, iterations=0)
+    with pytest.raises(ValueError):
+        lg.pagerank(edges, damping_num=100, damping_den=100)
