@@ -327,3 +327,35 @@ def test_kmeans_broadcast_round_shape(spark):
     plan = _plan(agg)
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.replace("BroadcastExchange", "").count("Exchange") <= 2
+
+
+def test_outlink_extraction_shuffle_free_and_jvm_side(spark):
+    """q84 shape: regexp + explode stay one JVM projection chain — zero
+    exchanges, zero Python stages; in-degree adds exactly one exchange
+    with a map-side partial count before it."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import linkgraph as lg
+    pages = spark.createDataFrame(
+        [("u", '<a href="https://a.org/">x</a>')], "url string, html string")
+    links = lg.extract_outlinks(pages)
+    phys = _plan(links)
+    assert "Exchange" not in phys
+    assert "Python" not in phys
+    counts = _plan(lg.inlink_counts(links))
+    assert counts.count("Exchange") == 1
+    # partial + final aggregation phases around the single shuffle
+    assert counts.count("HashAggregate") == 2
+
+
+def test_pagerank_round_no_cartesian_no_explode(spark):
+    """One PageRank round = keyed joins + one partial-agg sum: no
+    cartesian/nested-loop join anywhere, no Generate.  (Join strategy
+    itself is left to the optimizer: at lake scale the O(nodes) rank map
+    exceeds the broadcast threshold and shuffles on the key.)"""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import linkgraph as lg
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    ranks = lg.pagerank(edges, num_nodes=3, iterations=1)
+    phys = _plan(ranks)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "Generate" not in phys
