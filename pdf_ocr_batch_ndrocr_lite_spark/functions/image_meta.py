@@ -99,7 +99,10 @@ def _png_meta(data: bytes) -> Dict[str, float]:
     while i + 8 <= len(data):
         length = int.from_bytes(data[i:i + 4], "big")
         ctype = data[i + 4:i + 8]
-        if ctype == b"pHYs" and length >= 9:
+        # bound-check the declared length against the REAL buffer: a
+        # download truncated mid-chunk must parse as "no density", not
+        # raise struct.error past the ImageParseError contract
+        if ctype == b"pHYs" and length >= 9 and i + 17 <= len(data):
             px_m, py_m, unit = struct.unpack(
                 ">IIB", data[i + 8:i + 17])
             if unit == 1:  # pixels per metre → dpi (Pillow does the same)
@@ -309,18 +312,23 @@ def prepare_image(data: bytes) -> Dict[str, float]:
     takes the 150 dpi default BEFORE normalization, exactly like
     ``im.info.get("dpi", (150, 150))``."""
     kind = sniff_image(bytes(data or b""))
-    if kind == "jpeg":
-        meta = _jpeg_meta(bytes(data))
-    elif kind == "png":
-        meta = _png_meta(bytes(data))
-    elif kind == "bmp":
-        meta = _bmp_meta(bytes(data))
-    elif kind == "tiff":
-        meta = _tiff_meta(bytes(data))
-    elif kind == "webp":
-        meta = _webp_meta(bytes(data))
-    else:
-        raise ImageParseError("not a supported image")
+    try:
+        if kind == "jpeg":
+            meta = _jpeg_meta(bytes(data))
+        elif kind == "png":
+            meta = _png_meta(bytes(data))
+        elif kind == "bmp":
+            meta = _bmp_meta(bytes(data))
+        elif kind == "tiff":
+            meta = _tiff_meta(bytes(data))
+        elif kind == "webp":
+            meta = _webp_meta(bytes(data))
+        else:
+            raise ImageParseError("not a supported image")
+    except struct.error as exc:
+        # a payload that sniffed as an image but ends mid-structure:
+        # truncated bytes ARE a parse error, for every format parser
+        raise ImageParseError(f"{kind}: truncated ({exc})") from exc
     dpi_x = normalize_dpi_value(
         meta["dpi_x"] if meta["dpi_x"] is not None else DEFAULT_IMAGE_DPI)
     dpi_y = normalize_dpi_value(

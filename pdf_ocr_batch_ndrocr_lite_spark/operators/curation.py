@@ -358,7 +358,16 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     ``canon_url`` to the output."""
     canon = canonicalize_url(F.col(url_col))
     keyed = docs.withColumn("canon_url", canon)
-    w = Window.partitionBy("canon_url").orderBy(F.col(id_col))
+    # NULL urls are NOT duplicates of one another: partitionBy groups
+    # NULL keys together, which would silently collapse every NULL-url
+    # row into one survivor AND sort them all in a single hot window
+    # task.  A per-row sentinel key (NUL prefix — unreachable from any
+    # real url: HTTP forbids NUL) keeps each in its own partition, so
+    # they pass through untouched in the same single pass.
+    key = F.coalesce(
+        F.col("canon_url"),
+        F.concat(F.lit("\x00:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
     return (keyed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn"))

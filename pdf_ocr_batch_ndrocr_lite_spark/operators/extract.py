@@ -268,6 +268,17 @@ def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
     for lineage but shed their payload before the shuffle (no reason to
     move bytes we will not parse).
     """
+    flagged = flag_pages(pages_df, num_partitions)
+    return flagged.mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def flag_pages(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
+    """The shared pre-dispatch projection: name-rule skip flag, byte
+    count for lineage, payload shed for skip rows, salted repartition —
+    the ONE definition both `run_extraction` and
+    `ocr_engine.extract_with_ocr` feed their python stage from (a
+    drifted copy would silently fork skip/shedding semantics between
+    the two paths)."""
     flagged = pages_df.select(
         "url", "lang",
         F.col("url").rlike(GENERATED_NAME_PATTERN).alias("skip_name"),
@@ -275,6 +286,4 @@ def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
         F.when(F.col("url").rlike(GENERATED_NAME_PATTERN),
                F.lit(b"")).otherwise(F.col("html")).alias("html"),
     )
-    flagged = salted_repartition(flagged, num_partitions)
-    return flagged.drop("salt").mapInPandas(
-        extract_batches, schema=EXTRACT_SCHEMA)
+    return salted_repartition(flagged, num_partitions).drop("salt")

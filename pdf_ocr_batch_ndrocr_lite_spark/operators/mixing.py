@@ -494,17 +494,17 @@ def training_shards(docs: DataFrame, n_shards: int, seed: str = "0",
 # ---------------------------------------------------------------------------
 
 
-def contaminated_spans(docs: DataFrame, bench: DataFrame,
-                       id_col: str = "doc_id", text_col: str = "text",
-                       bench_id_col: str = "doc_id",
-                       bench_text_col: str = "text", k: int = 5,
-                       pad: int = 0,
-                       max_bench_df: int | None = None,
-                       bench_shingles: DataFrame | None = None
-                       ) -> DataFrame:
-    """(doc_id, span_start, span_end, span_words): maximal 0-based word
-    ranges (inclusive) covered by benchmark-colliding k-gram shingles,
-    each expanded by ``pad`` context words and clamped to the document."""
+def _covered_word_indices(docs: DataFrame, bench: DataFrame,
+                          id_col: str, text_col: str,
+                          bench_id_col: str, bench_text_col: str,
+                          k: int, pad: int,
+                          max_bench_df: int | None,
+                          bench_shingles: DataFrame | None) -> DataFrame:
+    """(id, widx): the distinct 0-based word indices covered by
+    benchmark-colliding shingles ± pad, clamped — the shared core of
+    `contaminated_spans` (which merges them into islands for reporting)
+    and `strip_contamination` (which aggregates them per doc directly,
+    skipping the island window + span groupBy + re-explode round trip)."""
     from .dedup import _words
 
     bsh = (bench_shingles if bench_shingles is not None
@@ -519,13 +519,33 @@ def contaminated_spans(docs: DataFrame, bench: DataFrame,
            .select(F.col(id_col), F.col("_nw"),
                    F.posexplode("_sh").alias("_p", "shingle")))
     hits = psh.join(F.broadcast(bsh), "shingle", "left_semi")
-    covered = (hits.select(
-        F.col(id_col), 
-        F.explode(F.sequence(
-            F.greatest(F.col("_p") - pad, F.lit(0)),
-            F.least(F.col("_p") + k - 1 + pad, F.col("_nw") - 1)))
-        .alias("widx"))
-        .distinct())
+    # clamp-then-guard: on a zero-word document (whitespace-only text
+    # yields _nw=0 with one degenerate '' shingle) the clamped end is
+    # -1 and F.sequence(0, -1) would generate a DESCENDING [0, -1] —
+    # bogus negative spans; the SQL oracle's range() is simply empty
+    # there, so an empty clamped range must drop the row entirely
+    _start = F.greatest(F.col("_p") - pad, F.lit(0))
+    _end = F.least(F.col("_p") + k - 1 + pad, F.col("_nw") - 1)
+    return (hits.filter(_start <= _end)
+            .select(F.col(id_col),
+                    F.explode(F.sequence(_start, _end)).alias("widx"))
+            .distinct())
+
+
+def contaminated_spans(docs: DataFrame, bench: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bench_id_col: str = "doc_id",
+                       bench_text_col: str = "text", k: int = 5,
+                       pad: int = 0,
+                       max_bench_df: int | None = None,
+                       bench_shingles: DataFrame | None = None
+                       ) -> DataFrame:
+    """(doc_id, span_start, span_end, span_words): maximal 0-based word
+    ranges (inclusive) covered by benchmark-colliding k-gram shingles,
+    each expanded by ``pad`` context words and clamped to the document."""
+    covered = _covered_word_indices(docs, bench, id_col, text_col,
+                                    bench_id_col, bench_text_col, k, pad,
+                                    max_bench_df, bench_shingles)
     w = Window.partitionBy(id_col).orderBy("widx")
     grouped = covered.withColumn(
         "_grp", F.col("widx") - F.row_number().over(w))
@@ -554,14 +574,11 @@ def strip_contamination(docs: DataFrame, bench: DataFrame,
     their original text byte-for-byte (left join, coalesce)."""
     from .dedup import _words
 
-    spans = contaminated_spans(docs, bench, id_col, text_col,
-                               bench_id_col, bench_text_col, k, pad,
-                               max_bench_df, bench_shingles)
-    covered = (spans.select(
-        F.col(id_col),
-        F.explode(F.sequence("span_start", "span_end")).alias("widx"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("widx")).alias("_cov")))
+    covered = (_covered_word_indices(docs, bench, id_col, text_col,
+                                     bench_id_col, bench_text_col, k, pad,
+                                     max_bench_df, bench_shingles)
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_set("widx")).alias("_cov")))
     joined = docs.join(covered, id_col, "left")
     words = _words(text_col)
     kept = F.filter(

@@ -50,6 +50,7 @@ from .extract import (
     EXTRACT_SCHEMA,
     _OUT_COLS,
     extract_one,
+    flag_pages,
     salted_repartition,
 )
 
@@ -108,7 +109,13 @@ def _ocr_one(url: str, payload: bytes, page_count: int, lang: str,
              engine: EngineFn) -> Dict[str, Any]:
     """One document through engine → parse → serialize; never raises."""
     t0 = time.perf_counter()
-    pc = max(1, int(page_count or 1))
+    try:
+        # Arrow→pandas turns a bigint column with NULLs into float64
+        # NaN, which is truthy and un-int()-able — a NULL page_count
+        # must degrade to 1, not abort the task
+        pc = max(1, int(page_count))
+    except (TypeError, ValueError):
+        pc = 1
     base = {"url": url, "lang": lang, "doc_kind": "ocr",
             "extracted_text": "", "page_count": pc, "token_count": 0,
             "block_count": 0, "parse_warnings": 0, "low_coverage": 0,
@@ -205,8 +212,7 @@ def extract_with_ocr(pages_df: DataFrame,
     if engine is None:
         engine = deterministic_fake_engine
 
-    from .extract import GENERATED_NAME_PATTERN, _skip_name_row
-    import pyspark.sql.functions as F
+    from .extract import _skip_name_row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,12 +240,5 @@ def extract_with_ocr(pages_df: DataFrame,
                     out[c].append(row[c])
             yield pd.DataFrame(out, columns=_OUT_COLS)
 
-    flagged = pages_df.select(
-        "url", "lang",
-        F.col("url").rlike(GENERATED_NAME_PATTERN).alias("skip_name"),
-        F.length(F.col("html")).cast("bigint").alias("bytes_len"),
-        F.when(F.col("url").rlike(GENERATED_NAME_PATTERN),
-               F.lit(b"")).otherwise(F.col("html")).alias("html"),
-    )
-    flagged = salted_repartition(flagged, num_partitions)
-    return flagged.drop("salt").mapInPandas(run, schema=EXTRACT_SCHEMA)
+    flagged = flag_pages(pages_df, num_partitions)
+    return flagged.mapInPandas(run, schema=EXTRACT_SCHEMA)

@@ -432,14 +432,22 @@ def ivf_topk(emb: DataFrame, query: Sequence[float],
 def query_probe_cells_df(queries: DataFrame, cents: DataFrame,
                          id_col: str = "query_id",
                          vec_col: str = "embedding",
-                         nprobe: int = 2) -> DataFrame:
-    """(id, cell): each query row's ``nprobe`` nearest centroid cells —
-    the per-ROW twin of `query_probe_cells`, via the one-row broadcast
-    codebook.  array_sort on (dist, cell) structs reproduces the
-    (dist asc, cell asc) probe ordering exactly.  Queries whose vector
-    is NULL/ragged produce NULL distances and are dropped (no cells to
-    probe — same contract as `ivf_assign`'s NULL cell)."""
-    joined = queries.select(F.col(id_col), F.col(vec_col)) \
+                         nprobe: int = 2,
+                         keep_cols: tuple = ()) -> DataFrame:
+    """(id, *keep_cols, cell): each query row's ``nprobe`` nearest
+    centroid cells — the per-ROW twin of `query_probe_cells`, via the
+    one-row broadcast codebook.  array_sort on (dist, cell) structs
+    reproduces the (dist asc, cell asc) probe ordering exactly.  Queries
+    whose vector is NULL/ragged produce NULL distances and are dropped
+    (no cells to probe — same contract as `ivf_assign`'s NULL cell).
+
+    ``keep_cols``: extra columns of `queries` carried through to the
+    output (may include ``vec_col`` itself) — lets a caller attach the
+    query payload/norm in the SAME scan instead of re-reading the query
+    table and joining the probe frame back on the id (the double-scan
+    shape the corpus side of `knn_join` explicitly avoids)."""
+    base = list(dict.fromkeys([id_col, *keep_cols, vec_col]))
+    joined = queries.select(*[F.col(c) for c in base]) \
         .join(F.broadcast(_packed_codebook(cents)))
     scored = F.transform(
         F.col("_cents"),
@@ -447,12 +455,15 @@ def query_probe_cells_df(queries: DataFrame, cents: DataFrame,
             _sq_dist_col(F.col(vec_col), c["cvec"]).alias("dist"),
             c["cell"].alias("cell")))
     probes = F.slice(F.array_sort(scored), 1, max(1, int(nprobe)))
+    out = [id_col, *keep_cols]
     # stage the HOF result: referenced once here but explode must not
     # re-evaluate k folds per output row (HOFs are never CSE'd)
-    staged = joined.select(F.col(id_col), probes.alias("_p"))
-    return (staged.select(F.col(id_col), F.explode("_p").alias("_pc"))
+    staged = joined.select(*[F.col(c) for c in out], probes.alias("_p"))
+    return (staged.select(*[F.col(c) for c in out],
+                          F.explode("_p").alias("_pc"))
             .filter(F.col("_pc.dist").isNotNull())
-            .select(F.col(id_col), F.col("_pc.cell").alias("cell")))
+            .select(*[F.col(c) for c in out],
+                    F.col("_pc.cell").alias("cell")))
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, centroids,
@@ -496,12 +507,13 @@ def knn_join(queries: DataFrame, corpus: DataFrame, centroids,
                      _norm(F.col("_cv")).alias("_cn"),
                      F.col("_best")["cell"].cast("int").alias("cell")))
 
-    qprobes = query_probe_cells_df(queries, cents, query_id_col,
-                                   vec_col, nprobe)
-    qside = (queries.select(F.col(query_id_col),
-                            F.col(vec_col).alias("_qv"),
-                            _norm(F.col(vec_col)).alias("_qn"))
-             .join(qprobes, query_id_col))
+    # query side: payload + norm carried THROUGH the probe projection
+    # (one scan, no probe-frame re-join on the id — r7 review finding)
+    qside = query_probe_cells_df(
+        queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("_qv"),
+                       _norm(F.col(vec_col)).alias("_qn")),
+        cents, query_id_col, "_qv", nprobe, keep_cols=("_qv", "_qn"))
 
     # a corpus row owns exactly ONE cell and a query's probe cells are
     # distinct, so each (query, corpus) pair can match at most once —

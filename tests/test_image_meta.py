@@ -187,3 +187,26 @@ def test_fuzzed_image_headers_never_crash_the_dispatcher():
             assert out["action"] in (
                 E.ACTION_NEEDS_OCR, E.ACTION_PARSE_FAILURE,
                 E.ACTION_EXTRACTED, E.ACTION_SKIP_HAS_TEXT), out
+
+
+def test_truncated_phys_chunk_parses_with_default_dpi():
+    """A download cut mid-pHYs (declared length 9, buffer ends at the
+    chunk header) must parse as 'no density' -> 150 default, never
+    escape as struct.error (r7 review finding #1)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.functions import image_meta as im
+    full = im.make_fake_png(40, 30, dpi=300)
+    truncated = full[:41]  # signature + IHDR chunk + pHYs header only
+    meta = im.prepare_image(truncated)
+    assert (meta["format"], meta["width_px"], meta["height_px"]) == \
+        ("png", 40, 30)
+    assert meta["dpi_x"] == 150.0
+
+
+def test_truncated_tiff_raises_image_parse_error_not_struct_error():
+    """Any parser ending mid-structure surfaces ImageParseError (the
+    contract extract_image catches), not bare struct.error."""
+    from pdf_ocr_batch_ndrocr_lite_spark.functions import image_meta as im
+    full = im.make_fake_tiff(40, 30, dpi=200)
+    import pytest
+    with pytest.raises(im.ImageParseError):
+        im.prepare_image(full[:10])

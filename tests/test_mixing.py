@@ -518,3 +518,25 @@ def test_strip_contamination_keeps_clean_text_verbatim(spark):
     # fully-leaked doc empties (a later min-length filter drops it)
     assert out[3]["text"] == "" and out[3]["n_stripped_words"] == 6
     assert out[4]["text"] == "x0 x4 x5 x6 x7 x8 x12"
+
+
+def test_contaminated_spans_zero_word_doc_yields_no_span(spark):
+    """A whitespace-only document (_nw=0, one degenerate '' shingle)
+    colliding with a whitespace-only bench item must produce NO span —
+    F.sequence(0, -1) would otherwise emit a descending [0, -1] bogus
+    span (r7 review finding #3); the SQL oracle's range() is empty."""
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "alpha beta gamma")], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, " "), (101, "alpha beta")], "doc_id int, text string")
+    spans = mx.contaminated_spans(docs, bench, k=2, pad=1).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert 1 not in by_doc                      # no bogus span
+    assert by_doc[2] == [(0, 2)]                # real leak still found
+    stripped = {r["doc_id"]: r["n_stripped_words"]
+                for r in mx.strip_contamination(
+                    docs, bench, k=2, pad=1).collect()}
+    assert stripped[1] == 0

@@ -160,3 +160,15 @@ def test_run_pipeline_with_engine(spark, tmp_path):
                          checkpoint_path=str(tmp_path / "ck_b"), storage=st,
                          ocr_engine=oe.deterministic_fake_engine)
     assert again["docs"] == 0
+
+
+def test_run_ocr_null_page_count_degrades_to_one(spark):
+    """Arrow->pandas turns a NULL page_count into float NaN; the stage
+    must treat it as 1 page, not abort the task on int(NaN)
+    (r7 review finding #2)."""
+    rows = [("ok", b"payload", 2), ("nullpc", b"payload2", None)]
+    got = {r["url"]: r for r in
+           oe.run_ocr(_docs(spark, rows)).collect()}
+    assert got["nullpc"]["page_count"] == 1
+    assert got["nullpc"]["action"] == "extracted"
+    assert got["ok"]["page_count"] == 2

@@ -679,3 +679,15 @@ def test_knn_join_plan_no_cartesian(spark):
     # itself is a hash join on the cell key
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan, plan
+
+
+def test_url_dedup_null_urls_pass_through(spark):
+    """NULL urls are not duplicates of each other: every NULL-url row
+    must survive individually (r7 review finding #4 — partitionBy
+    groups NULL keys, which silently collapsed them to one row)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    rows = [(0, "https://a.org/x"), (1, "https://a.org/x#f"),
+            (2, None), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = sorted(r["doc_id"] for r in cu.url_dedup(df).collect())
+    assert got == [0, 2, 3, 4]
