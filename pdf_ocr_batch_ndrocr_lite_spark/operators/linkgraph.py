@@ -60,25 +60,37 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
              iterations: int = 3, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10 ** 12,
              src_col: str = "src", dst_col: str = "dst",
-             scratch_dir: str | None = None) -> DataFrame:
+             scratch_dir: str | None = None,
+             seeds: DataFrame | None = None,
+             num_seeds: int | None = None) -> DataFrame:
     """Damped PageRank over (src, dst) edges in BIGINT fixed point:
     returns (id, rank) with rank ~= pagerank * `scale`, truncated.
 
     Exact update per round, in this operation order on BOTH engines::
 
-        base   = ((scale * (den - num)) div den) div N
-        contrib = rank(src) div outdeg(src)           -- per edge
-        rank'  = base + (num * sum(contrib)) div den  -- per dst node
+        base_i  = ((scale * (den - num)) div den) div N   if i teleports
+                  else 0
+        contrib = rank(src) div outdeg(src)               -- per edge
+        rank'   = base_i + (num * sum(contrib)) div den   -- per dst
 
     All divisions truncate (positive operands, so Spark `div` and
     DuckDB `//` agree); sums are BIGINT (total mass <= scale, no
-    overflow).  Nodes with no in-links settle at `base`.
+    overflow).  Nodes with no in-links settle at their base.
 
-    `num_nodes`: pass the known node count at lake scale; None counts
-    the distinct node set (one scalar driver action, like the lineage
-    count).  `scratch_dir`: optional parquet barrier per round for
-    iteration counts large enough that linear lineage growth matters
-    (executors must be able to read it on a non-local master).
+    ``seeds``: optional one-column (id) frame of teleport targets —
+    **TrustRank** (Gyongyi et al., VLDB'04): restart mass flows only to
+    trusted seed hosts, so rank reaching a page must arrive through a
+    link path from the trusted set — the classic webspam demotion
+    signal (link farms far from seeds decay geometrically).  With
+    seeds, N above is the SEED count and init/base are nonzero only on
+    seeds; without, every node teleports (classic PageRank, bit-proven
+    by the q85 oracle).
+
+    `num_nodes`/`num_seeds`: pass known counts at lake scale; None
+    counts (one scalar driver action each, like the lineage count).
+    `scratch_dir`: optional parquet barrier per round for iteration
+    counts large enough that linear lineage growth matters (executors
+    must be able to read it on a non-local master).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
@@ -91,8 +103,6 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
              .distinct())
-    if num_nodes is None:
-        num_nodes = nodes.count()
 
     def _barrier(df: DataFrame, name: str) -> DataFrame:
         if scratch_dir is None:
@@ -100,11 +110,37 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         df.write.mode("overwrite").parquet(f"{scratch_dir}/{name}")
         return spark.read.parquet(f"{scratch_dir}/{name}")
 
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).cast("bigint").alias("id")).distinct()
+        if num_seeds is None:
+            num_seeds = seed_ids.count()
+        if num_seeds < 1:
+            raise ValueError("pagerank: seeds frame is empty")
+        # one flag column computed once; the teleport set is a curated
+        # trust list (small), but the join strategy is left to the
+        # optimizer rather than forcing a broadcast of an unbounded frame
+        nodes = _barrier(
+            nodes.join(seed_ids.withColumn("_t", F.lit(True)), "id",
+                       "left")
+            .select("id", F.coalesce(F.col("_t"), F.lit(False))
+                    .alias("_teleports")),
+            "nodes")
+        n_tel = num_seeds
+    else:
+        if num_nodes is None:
+            num_nodes = nodes.count()
+        nodes = nodes.withColumn("_teleports", F.lit(True))
+        n_tel = num_nodes
+
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     cedges = _barrier(e.join(outdeg, "src"), "cedges")
-    base = ((scale * (damping_den - damping_num)) // damping_den) \
-        // num_nodes
-    ranks = nodes.withColumn("rank", F.lit(scale // num_nodes))
+    base_val = ((scale * (damping_den - damping_num)) // damping_den) \
+        // n_tel
+    base = F.when(F.col("_teleports"), F.lit(base_val)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "id", F.when(F.col("_teleports"), F.lit(scale // n_tel))
+        .otherwise(F.lit(0)).alias("rank"))
 
     for rnd in range(iterations):
         contrib = (cedges.join(ranks.withColumnRenamed("id", "src"),
@@ -116,7 +152,7 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         ranks = _barrier(
             nodes.join(sums, "id", "left")
             .select("id",
-                    (F.lit(base)
+                    (base
                      + F.expr(f"({damping_num} * coalesce(_m, 0)) "
                               f"div {damping_den}")).alias("rank")),
             f"ranks_{rnd}")

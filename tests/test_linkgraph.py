@@ -66,6 +66,28 @@ def test_pagerank_scratch_barrier_matches_symbolic(spark, tmp_path):
     assert sym == bar
 
 
+def test_trustrank_seeded_teleport_hand_computed(spark):
+    """scale=1000, d=85/100, edges 0->1, 1->2, 2->0, seeds={0}.
+    r0 = (1000, 0, 0); base(0)=150, others 0.  Round 1: contribs
+    0->1:1000, 1->2:0, 2->0:0 -> r=(150, 850, 0).  A node reachable
+    only THROUGH the seed holds rank; rank decays with distance."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["rank"]
+           for r in lg.pagerank(edges, iterations=1, scale=1000,
+                                seeds=seeds).collect()}
+    assert got == {0: 150, 1: 850, 2: 0}
+    # unseeded classic PageRank on the same graph differs (uniform base)
+    classic = {r["id"]: r["rank"]
+               for r in lg.pagerank(edges, iterations=1,
+                                    scale=1000).collect()}
+    assert classic != got
+    import pytest
+    with pytest.raises(ValueError):
+        lg.pagerank(edges, seeds=spark.createDataFrame([], "id long"))
+
+
 def test_pagerank_validates_inputs(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     import pytest
