@@ -272,13 +272,15 @@ def run_extraction(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
     return flagged.mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
 
 
-def flag_pages(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
+def flag_pages(pages_df: DataFrame, num_partitions: int = 0,
+               salt: bool = True) -> DataFrame:
     """The shared pre-dispatch projection: name-rule skip flag, byte
     count for lineage, payload shed for skip rows, salted repartition —
-    the ONE definition both `run_extraction` and
-    `ocr_engine.extract_with_ocr` feed their python stage from (a
+    the ONE definition `run_extraction`, `ocr_engine.extract_with_ocr`,
+    and `streaming.extract_stream` feed their python stage from (a
     drifted copy would silently fork skip/shedding semantics between
-    the two paths)."""
+    the paths).  ``salt=False`` skips the repartition for inputs that
+    are already size-bounded (streaming micro-batches)."""
     flagged = pages_df.select(
         "url", "lang",
         F.col("url").rlike(GENERATED_NAME_PATTERN).alias("skip_name"),
@@ -286,4 +288,6 @@ def flag_pages(pages_df: DataFrame, num_partitions: int = 0) -> DataFrame:
         F.when(F.col("url").rlike(GENERATED_NAME_PATTERN),
                F.lit(b"")).otherwise(F.col("html")).alias("html"),
     )
+    if not salt:
+        return flagged
     return salted_repartition(flagged, num_partitions).drop("salt")

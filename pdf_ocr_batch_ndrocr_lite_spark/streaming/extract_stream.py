@@ -50,13 +50,7 @@ def extract_stream(pages: DataFrame) -> DataFrame:
     """Streaming extraction: single-pass name-rule routing + the batch
     dispatcher (same plan shape as batch `run_extraction`, minus the salted
     shuffle — micro-batches are already size-bounded by the trigger)."""
-    flagged = pages.select(
-        "url", "lang",
-        F.col("url").rlike(ex.GENERATED_NAME_PATTERN).alias("skip_name"),
-        F.length(F.col("html")).cast("bigint").alias("bytes_len"),
-        F.when(F.col("url").rlike(ex.GENERATED_NAME_PATTERN),
-               F.lit(b"")).otherwise(F.col("html")).alias("html"),
-    )
+    flagged = ex.flag_pages(pages, salt=False)
     return flagged.mapInPandas(ex.extract_batches, schema=ex.EXTRACT_SCHEMA)
 
 
