@@ -92,7 +92,11 @@ def bench_queries(spark):
              # round-6: k-means IVF training (2 Lloyd rounds),
              # temperature resampling
              "q72_kmeans_ivf", "q73_temperature_sample",
-             "q74_vocab_topk", "q76_simhash_pairs"]
+             "q74_vocab_topk", "q76_simhash_pairs",
+             # round-7: canonical-url recrawl dedup (projection-keyed
+             # window), batched k-NN join over IVF cells, fixed-point
+             # PageRank (3 joined rounds over the 200-node graph)
+             "q83_url_dedup", "q81_knn_join", "q85_pagerank"]
     # round-6 (judge item 7): single-shot picks — stable fixed-size
     # workloads whose cost is dominated by per-round barrier / stage
     # overhead, so one shot per round gives a clean round-over-round
