@@ -48,6 +48,33 @@ def extract_outlinks(pages: DataFrame, html_col: str = "html",
                          F.explode(links).alias("target")))
 
 
+_ANCHOR_RE = r'href="(https?://[^"]+)"[^>]*>([^<]*)<'
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """(url, target, anchor) per absolute http(s) anchor WITH its link
+    text — the anchor-text corpus (what the web calls the target page):
+    a classic relevance/title signal for crawl ranking and document
+    title synthesis.
+
+    Same-pattern group extraction twice (group 1 = href, group 2 =
+    text) yields two positionally aligned arrays — arrays_zip + explode
+    keeps the pairing exact with zero Python and no shuffle.  Anchors
+    whose text contains markup (nested tags) truncate at the first
+    '<' by construction of the capture."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 2)
+    # stage the two HOF arrays in their own projection (no CSE across
+    # the zip otherwise), then explode the zipped pairs
+    staged = pages.select(F.col(url_col).alias("url"),
+                          F.arrays_zip(hrefs.alias("t"),
+                                       texts.alias("a")).alias("_z"))
+    return (staged.select("url", F.explode("_z").alias("_p"))
+            .select("url", F.col("_p.t").alias("target"),
+                    F.col("_p.a").alias("anchor")))
+
+
 def inlink_counts(links: DataFrame,
                   target_col: str = "target") -> DataFrame:
     """In-degree per target url: one partial-agg groupBy (map-side

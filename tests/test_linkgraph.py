@@ -95,3 +95,17 @@ def test_pagerank_validates_inputs(spark):
         lg.pagerank(edges, iterations=0)
     with pytest.raises(ValueError):
         lg.pagerank(edges, damping_num=100, damping_den=100)
+
+
+def test_extract_anchors_pairs_and_truncation(spark):
+    """href/text stay positionally paired across anchors; relative
+    links drop; nested markup truncates the anchor text at the first
+    tag; attributes after the href don't break the pairing."""
+    rows = [("p1", '<a href="https://a.org/">first link</a>'
+                   '<a href="/rel">nope</a>'
+                   '<a href="https://b.org/" rel=nofollow>has <b>bold</b></a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [(r["target"], r["anchor"])
+           for r in lg.extract_anchors(df).collect()]
+    assert got == [("https://a.org/", "first link"),
+                   ("https://b.org/", "has ")]
