@@ -251,10 +251,10 @@ def per_domain_cap(docs: DataFrame, url_col: str = "url", cap: int = 3,
 # first (cheapest kill), then language, then composite quality, then
 # n-gram repetition.  All three per-row signals are COLUMN expressions
 # (textstats.lang_pred_col / quality_col / top_gram_frac_col) fused into
-# ONE projection; the only data movement is the dedup window's single
-# exchange on the text digest.  Plan: scan → project → one window — no
-# joins (an earlier formulation joined three signal frames on doc_id:
-# three full-corpus shuffles for row-local values).
+# ONE projection; the only data movement is on the text digest: a
+# combining winner agg + digest join-back (NOT a window — see the
+# hot-key note inside).  An earlier formulation joined three signal
+# frames on doc_id: three full-corpus shuffles for row-local values.
 # ---------------------------------------------------------------------------
 
 
@@ -280,7 +280,10 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
     # references it twice (run fold + size)
     staged = docs.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("_md5"),
+        # sentinel for NULL texts (md5 output is hex, '' unreachable):
+        # the winner agg below joins back on the digest, and an equality
+        # join on a NULL key would drop NULL-text rows from the verdict
+        F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("_md5"),
         ts.lang_pred_col(text_col).alias("lang_pred"),
         ts.quality_col(text_col).alias("quality"),
         ts.sorted_grams_col(text_col, k).alias("_g"),
@@ -295,12 +298,18 @@ def curation_verdict(docs: DataFrame, id_col: str = "doc_id",
         F.coalesce(ts.top_gram_frac_col(F.col("_g")), F.lit(0.0))
         .alias("top_gram_frac"),
     )
-    w = Window.partitionBy("_md5").orderBy(F.col(id_col))
-    v = sig.withColumn("_rn", F.row_number().over(w))
+    # first-seen winner per digest: a combining min agg + digest join
+    # back — NOT a row_number window (every copy of a duplicated text
+    # would land in one un-splittable window partition; the hottest
+    # digests are exactly the mass duplicates this gate exists to kill).
+    # The agg is map-side combinable and the join-back is
+    # AQE-skew-splittable — same shape as dedup.exact_dedup/line_dedup.
+    winners = sig.groupBy("_md5").agg(F.min(F.col(id_col)).alias("_wid"))
+    v = sig.join(winners, "_md5")
     lang_fails = (F.col("lang_pred") == "unknown") if require_lang \
         else F.lit(False)
     reason = (
-        F.when(F.col("_rn") > 1, F.lit("exact_dup"))
+        F.when(F.col(id_col) != F.col("_wid"), F.lit("exact_dup"))
         .when(lang_fails, F.lit("lang"))
         .when(F.col("quality") < F.lit(float(min_quality)), F.lit("quality"))
         .when(F.col("top_gram_frac") > F.lit(float(max_top_gram_frac)),

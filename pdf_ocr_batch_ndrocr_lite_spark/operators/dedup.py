@@ -35,13 +35,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """First-wins exact dedup: keep the lowest id per digest (the reference's
     first-occurrence-wins dedup semantics, app.py:1705-1725, lifted to
-    corpus scale)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    corpus scale).
+
+    Winner selection is a combining ``groupBy(digest).agg(min(id))`` +
+    digest-keyed semi-join back — NOT a row_number window.  A window
+    puts every copy of a duplicated text in ONE partition, window
+    partitions are never AQE-split, and the hottest digests are exactly
+    what dedup exists to find (empty extractions, template pages —
+    millions of copies at crawl scale), so one task would sort them
+    all.  The agg winner is map-side combinable (one candidate row per
+    digest reaches the shuffle per input partition) and the join-back
+    is AQE-skew-splittable; `line_dedup` uses the same shape for the
+    same reason.  NULL texts stay duplicates of EACH OTHER (matching
+    the window formulation this replaced) via an out-of-alphabet
+    sentinel digest — md5 output is hex, so '' is unreachable.
+    Assumes ids are unique and non-null (the corpus contract
+    everywhere else in this module)."""
+    digest = F.coalesce(F.md5(F.col(text_col)), F.lit(""))
+    keyed = docs.withColumn("_h", digest)
+    winners = keyed.groupBy("_h").agg(F.min(F.col(id_col)).alias("_wid"))
+    k, w = keyed.alias("k"), winners.alias("w")
+    return (k.join(w, (F.col("k._h") == F.col("w._h"))
+                   & (F.col(f"k.{id_col}") == F.col("w._wid")),
+                   "leftsemi")
+            .drop("_h"))
 
 
 # ---------------------------------------------------------------------------

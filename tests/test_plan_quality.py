@@ -198,16 +198,35 @@ def test_repetition_stats_is_shuffle_free_projection(spark):
     assert "Exchange" not in phys
 
 
-def test_curation_verdict_single_projection_one_exchange(spark):
-    """q50 shape: all per-row signals fused into ONE projection; the only
-    exchange is the dedup window's digest shuffle — zero joins."""
+def test_curation_verdict_no_digest_window(spark):
+    """q50 shape: all per-row signals fused into projections; the dedup
+    winner is a combining min agg + digest join-back, NEVER a row_number
+    window — window partitions are not AQE-split, so a mass-duplicated
+    text (empty extractions, template pages) would sort in ONE task."""
     from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
     docs = spark.createDataFrame([(1, "the a b"), (2, "the a b")],
                                  "doc_id int, text string")
-    phys = cu.curation_verdict(docs)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "Join" not in phys
-    assert phys.count("Exchange") == 1
+    v = cu.curation_verdict(docs)
+    phys = v._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys
+    # the winner agg must be map-side combinable (partial min)
+    assert "partial_min" in phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_exact_dedup_no_digest_window(spark):
+    """dedup.exact_dedup: same no-window guarantee (the hot-key shape
+    the line_dedup header documents), winner = combining agg +
+    AQE-splittable semi-join back."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import dedup as dd
+    docs = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")],
+                                 "doc_id int, text string")
+    out = dd.exact_dedup(docs)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys
+    assert "partial_min" in phys
+    assert "LeftSemi" in phys
 
 
 def test_registrable_domain_staged_no_shuffle_no_duplication(spark):

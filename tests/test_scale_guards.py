@@ -623,6 +623,31 @@ def test_minhash_dedup_transitive_mode(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_exact_dedup_hot_digest_and_null_text(spark):
+    """Hot-key probe: 200k copies of ONE text (the empty-extraction /
+    template-page shape the operator exists to kill) plus uniques plus
+    NULL texts.  The combining winner agg + semi-join keeps semantics
+    identical to the window formulation it replaced — lowest id wins,
+    NULL texts are duplicates of each other — while no single task has
+    to sort the hot digest (the plan gate is in test_plan_quality)."""
+    n_hot = 200_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate page").alias("text"))
+    uniq = spark.range(n_hot, n_hot + 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("text"))
+    nulls = spark.range(n_hot + 500, n_hot + 503).select(
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"))
+    out = dd.exact_dedup(hot.unionAll(uniq).unionAll(nulls))
+    assert out.count() == 1 + 500 + 1
+    kept_hot = out.filter(F.col("text") == "boilerplate page").collect()
+    assert [r["doc_id"] for r in kept_hot] == [0]
+    kept_null = out.filter(F.col("text").isNull()).collect()
+    assert [r["doc_id"] for r in kept_null] == [n_hot + 500]
+
+
 def test_incremental_exact_dedup(spark):
     """Batch repeats collapse first-wins; anything already in the corpus
     dies; fresh text survives."""
