@@ -372,10 +372,16 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     # row into one survivor AND sort them all in a single hot window
     # task.  A per-row sentinel key (NUL prefix — unreachable from any
     # real url: HTTP forbids NUL) keeps each in its own partition, so
-    # they pass through untouched in the same single pass.
+    # they pass through untouched in the same single pass.  concat
+    # propagates NULL, so a row with NULL url AND NULL id needs the
+    # third arm — a per-row unique fallback (monotonically_increasing_id
+    # is nondeterministic across runs, but any unique value works: the
+    # contract is only "each NULL-keyed row is its own partition").
     key = F.coalesce(
         F.col("canon_url"),
-        F.concat(F.lit("\x00:"), F.col(id_col).cast("string")))
+        F.concat(F.lit("\x00:"), F.col(id_col).cast("string")),
+        F.concat(F.lit("\x00#"),
+                 F.monotonically_increasing_id().cast("string")))
     w = Window.partitionBy(key).orderBy(F.col(id_col))
     return (keyed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -368,6 +368,44 @@ def query_probe_cells(query: Sequence[float],
     return order[:max(1, nprobe)]
 
 
+def _cells_with_payload(emb: DataFrame, centroids, id_col: str,
+                        vec_col: str,
+                        broadcast_threshold: int = BROADCAST_K_THRESHOLD
+                        ) -> DataFrame:
+    """(id, vec, cell) in ONE scan of ``emb`` — nearest-cell assignment
+    carrying the vector payload through the projection (the `knn_join`
+    corpus-side formulation), so callers never re-join a separate
+    (id, cell) frame back onto the embedding relation (a second full
+    scan + an id-keyed exchange).  Centroid transport and tie rule are
+    identical to `ivf_assign` (bit-identical assignments on both
+    paths); rows with NULL/ragged vectors get a NULL cell."""
+    if isinstance(centroids, DataFrame) \
+            or len(centroids) >= broadcast_threshold:
+        cents = centroids if isinstance(centroids, DataFrame) \
+            else centroids_df(emb.sparkSession, centroids)
+        joined = emb.select(F.col(id_col), F.col(vec_col)) \
+            .join(F.broadcast(_packed_codebook(cents)))
+        best = F.array_min(F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist_col(F.col(vec_col), c["cvec"]).alias("dist"),
+                c["cell"].alias("cell"))))
+        # stage the HOF min in its own projection (never CSE'd,
+        # referenced twice: NULL guard + cell pick)
+        staged = joined.select(F.col(id_col), F.col(vec_col),
+                               best.alias("_best"))
+        cell = F.when(F.col("_best")["dist"].isNotNull(),
+                      F.col("_best")["cell"]).cast("int")
+        return staged.select(F.col(id_col), F.col(vec_col),
+                             cell.alias("cell"))
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    staged = emb.select(F.col(id_col), F.col(vec_col), dists.alias("_d"))
+    cell = (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1) \
+        .cast("int")
+    return staged.select(F.col(id_col), F.col(vec_col),
+                         cell.alias("cell"))
+
+
 def ivf_topk(emb: DataFrame, query: Sequence[float],
              centroids, k: int = 10, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -390,9 +428,12 @@ def ivf_topk(emb: DataFrame, query: Sequence[float],
         probes = [int(r["cell"]) for r in probe_rows]
     else:
         probes = query_probe_cells(query, centroids, nprobe)
-    cells = ivf_assign(emb, centroids, id_col, vec_col)
-    candidates = emb.join(
-        cells.filter(F.col("cell").isin([int(p) for p in probes])), id_col)
+    # assignment carries the payload through the projection (ONE scan
+    # of the embedding relation) — re-joining a separate (id, cell)
+    # frame back on the id would scan the corpus twice plus an id-keyed
+    # exchange, the shape knn_join's corpus side explicitly avoids
+    candidates = _cells_with_payload(emb, centroids, id_col, vec_col) \
+        .filter(F.col("cell").isin([int(p) for p in probes]))
     # score in place on the candidate frame — joining a separate scored
     # frame back would re-evaluate the centroid-argmin lineage twice
     if kernel not in ("exact", "blas"):

@@ -43,6 +43,28 @@ from pyspark.sql.utils import AnalysisException
 
 from ..operators import dedup as dd
 
+
+def _is_error_class(e: AnalysisException, name: str) -> bool:
+    """True when `e` carries the given Spark errorClass — matched on the
+    structured getErrorClass() where available (stable across versions
+    and locales), falling back to the message substring only for builds
+    whose AnalysisException predates the accessor."""
+    klass = None
+    for accessor in ("getCondition", "getErrorClass"):
+        fn = getattr(e, accessor, None)
+        if fn is None:
+            continue
+        try:
+            klass = fn()
+        except Exception:
+            klass = None
+        if klass:
+            break
+    if klass:
+        return klass == name
+    return name in str(e)
+
+
 DOCS_SCHEMA = "doc_id bigint, url string, text string, lang string"
 
 
@@ -169,7 +191,7 @@ def make_incremental_dedup_sink(corpus_path: str,
             try:
                 return spark.read.parquet(path)
             except AnalysisException as e:
-                if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                if not _is_error_class(e, "UNABLE_TO_INFER_SCHEMA"):
                     raise  # incl. PATH_NOT_FOUND → caller's cold-start guard
                 return spark.createDataFrame([], empty_schema)
 
@@ -184,7 +206,7 @@ def make_incremental_dedup_sink(corpus_path: str,
             # partition column — must surface: silently treating a real
             # corpus as empty would admit every near-duplicate and
             # pollute all later batches.
-            if "PATH_NOT_FOUND" not in str(e):
+            if not _is_error_class(e, "PATH_NOT_FOUND"):
                 raise
             corpus_b = None
             corpus = spark.createDataFrame([], batch_df.schema)
@@ -193,7 +215,7 @@ def make_incremental_dedup_sink(corpus_path: str,
                      .filter(F.col("batch_id") != F.lit(batch_id))
                      .drop("batch_id"))
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
+            if not _is_error_class(e, "PATH_NOT_FOUND"):
                 raise
             if corpus_b is not None:
                 # upgrade path: corpus predates the index — backfill it

@@ -88,6 +88,26 @@ def test_trustrank_seeded_teleport_hand_computed(spark):
         lg.pagerank(edges, seeds=spark.createDataFrame([], "id long"))
 
 
+def test_trustrank_isolated_seed_keeps_teleport_mass(spark):
+    """A trusted seed with NO edges must still appear in the rank frame
+    holding its share of the restart mass — num_seeds divides the
+    teleport/init mass, so dropping edge-less seeds would silently
+    shrink total fixed-point mass.  seeds={0, 9}, node 9 isolated:
+    base(9) = ((1000*15)//100)//2 = 75 and node 9 settles there."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (9,)], "id long")
+    got = {r["id"]: r["rank"]
+           for r in lg.pagerank(edges, iterations=2, scale=1000,
+                                seeds=seeds).collect()}
+    assert 9 in got
+    assert got[9] == 75
+    # r0 = (500, 0, 0, 500); round 1: 0->1 ships 500, non-seeds get no
+    # base -> r1 = (75, 85*500//100 = 425, 0, 75); round 2: contribs
+    # 0->1:75, 1->2:425 -> (75, 85*75//100 = 63, 85*425//100 = 361, 75)
+    assert got == {0: 75, 1: 63, 2: 361, 9: 75}
+
+
 def test_pagerank_validates_inputs(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     import pytest
@@ -109,3 +129,17 @@ def test_extract_anchors_pairs_and_truncation(spark):
            for r in lg.extract_anchors(df).collect()]
     assert got == [("https://a.org/", "first link"),
                    ("https://b.org/", "has ")]
+
+
+def test_extract_anchors_ignores_non_anchor_hrefs(spark):
+    """<link>/<base> tags carrying an absolute href must NOT attribute
+    the following text as anchor text — the pattern is anchored on the
+    <a tag name (r7 advice)."""
+    rows = [("p1", '<link href="https://cdn.org/s.css" rel=stylesheet>'
+                   'not an anchor<'
+                   '<base href="https://base.org/">also not<'
+                   '<a class="x" href="https://real.org/">yes</a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [(r["target"], r["anchor"])
+           for r in lg.extract_anchors(df).collect()]
+    assert got == [("https://real.org/", "yes")]

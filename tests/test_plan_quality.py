@@ -316,6 +316,25 @@ def test_ivf_broadcast_assign_plan_flat_in_k(spark):
     assert "Join" not in lit
 
 
+def test_ivf_topk_single_scan_of_embeddings(spark):
+    """r7 review: ivf_topk must scan the embedding relation ONCE — the
+    assignment carries the payload through the projection (knn_join's
+    corpus-side shape), never a second scan + id-keyed join-back.
+    Holds on both centroid-transport paths."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [0.5] * 64
+
+    def cents(k):
+        return [[float((b * 17 + i * 5) % 7 - 3) for i in range(64)]
+                for b in range(k)]
+
+    for k in (4, 32):       # literal path / broadcast-codebook path
+        plan = _plan(sim.ivf_topk(emb, q, cents(k), k=5, nprobe=2))
+        assert plan.count("Scan parquet") == 1, (k, plan)
+
+
 def test_kmeans_broadcast_round_shape(spark):
     """A broadcast-path Lloyd round keeps the one-aggregation shape:
     exactly one real Exchange (the groupBy cell) plus the broadcast,

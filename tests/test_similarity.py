@@ -340,6 +340,20 @@ def test_url_dedup_collapses_recrawl_variants(spark):
     assert set(cu.url_dedup(df).columns) == {"doc_id", "url", "canon_url"}
 
 
+def test_url_dedup_null_url_and_null_id_rows_pass_through(spark):
+    """NULL urls are NOT duplicates of one another — even when the id
+    is ALSO NULL (concat propagates NULL, so the id sentinel alone
+    would re-merge those rows into one hot NULL partition; the third
+    coalesce arm gives each its own key)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    rows = [(1, None), (2, None), (None, None), (None, None),
+            (3, "https://example.org/")]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    out = cu.url_dedup(df).collect()
+    assert len(out) == 5  # nothing collapses except real url dups (none)
+    assert sum(1 for r in out if r["url"] is None) == 4
+
+
 # --- BLAS kernel (tolerance-verified fast path) ---------------------------
 
 
