@@ -153,6 +153,39 @@ def bench_clustering_fixed(spark):
     return {"cc_fixed_200k_chain50": dt}
 
 
+def bench_pagerank_fixed(spark):
+    """Fixed-size PageRank benchmark (judge round-7 item 7): q85/q86 run
+    a 200-node toy, so round-over-round cost of the rank×edges join was
+    invisible.  Deterministic 200k-node graph, ~600k edges with a
+    power-law-ish degree tail: node i emits 1 + (i % 7) edges, and a
+    64-node "hub head" additionally receives one edge from EVERY 32nd
+    node, so the groupBy(dst) sum sees genuinely hot keys (the skew
+    shape a real host graph has).  3 rounds, default leak variant —
+    sf-independent and comparable round over round."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import linkgraph as lg
+
+    nodes = spark.range(200_000)
+    fan = nodes.select(
+        "id", F.explode(F.sequence(F.lit(1), F.col("id") % 7 + 1))
+        .alias("k"))
+    spread = fan.select(F.col("id").alias("src"),
+                        ((F.col("id") * 2654435761) % 200_000).alias("_m"))
+    spread = spread.select("src", ((F.col("_m") + F.col("src") % 97)
+                                   % 200_000).alias("dst"))
+    hubs = (nodes.filter(F.col("id") % 32 == 0)
+            .select(F.col("id").alias("src"),
+                    (F.col("id") % 64).alias("dst")))
+    edges = spread.unionByName(hubs).distinct()
+    t0 = time.perf_counter()
+    ranks = lg.pagerank(edges, num_nodes=200_000, iterations=3)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    dt = round(time.perf_counter() - t0, 3)
+    assert total > 0, total
+    return {"pagerank_fixed_200k": dt}
+
+
 def main() -> None:
     # scaling evidence is part of the default output (BENCH_r{N}.json must
     # carry the north-rule N->4N numbers); skip with --no-scaling when
@@ -176,6 +209,7 @@ def main() -> None:
                                             repeats=3)
     qtimes, qraw = bench_queries(spark)
     qtimes.update(bench_clustering_fixed(spark))
+    qtimes.update(bench_pagerank_fixed(spark))
     spark.stop()
 
     result = {

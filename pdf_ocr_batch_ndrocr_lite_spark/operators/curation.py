@@ -227,21 +227,35 @@ def per_domain_cap(docs: DataFrame, url_col: str = "url", cap: int = 3,
     semantics a crawl curation pass wants (one spam registrant cannot
     dodge the cap with wildcard subdomains).
 
-    Window row_number per domain — one shuffle on the domain key; skewed
-    mega-domains are exactly what the cap removes, so the shuffle's own skew
-    is self-limiting (only `cap` rows per key survive the window; AQE handles
-    the sort-side skew)."""
+    Two-phase cap pushdown: window partitions are never AQE-split, so
+    a mega-domain (one registrant = half the crawl) would sort ALL its
+    rows in one task under a single domain window.  Phase 1 caps
+    within (input partition, domain): the mega-domain's rows are
+    spread across input partitions, so every task is bounded by its
+    split size, and any row in the global top-`cap` of its domain is
+    necessarily in the top-`cap` of its own partition (the pre-filter
+    keeps a superset).  Phase 2 runs the global domain window on the
+    survivors — at most cap × input-splits rows per domain, bounded
+    regardless of corpus size.  Under `order_col` ties the choice
+    among tied rows can differ from a single-window formulation
+    (which was itself sort-order-arbitrary under ties); pass a unique
+    order key for fully deterministic output (the oracle queries use
+    doc_id)."""
     if psl:
         with_dom = with_registrable_domain(docs, url_col, "domain")
     else:
         with_dom = docs.withColumn(
             "domain", extract_domain(F.col(url_col)))
+    w_local = Window.partitionBy("_pid", "domain").orderBy(order_col)
     w = Window.partitionBy("domain").orderBy(order_col)
     return (
         with_dom
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= cap)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
-        .drop("_rn")
+        .drop("_pid", "_lrn", "_rn")
     )
 
 

@@ -86,6 +86,135 @@ def extract_anchors(pages: DataFrame, html_col: str = "html",
                     F.col("_p.a").alias("anchor")))
 
 
+_A_HREF_RE = r'<a\s[^>]*href="([^"]+)"'
+_BASE_HREF_RE = r'<base\s[^>]*href="(https?://[^"]+)"'
+
+
+def _normalized_path(norm_col, raw_path_col):
+    """Reassemble a dot-segment-normalized path from the folded segment
+    array (`norm_col`) plus the RAW path (for the directory-form rule):
+    '/'-joined with a leading '/', keeping the trailing '/' when the raw
+    path ends in '/', '/.' or '/..' (RFC 3986 remove_dot_segments keeps
+    the directory form there).  Duplicate slashes collapse (the fold
+    drops empty segments) — acceptable for a web-graph key."""
+    joined = F.concat(F.lit("/"), F.array_join(norm_col, "/"))
+    trailing = raw_path_col.rlike(r"(/|/\.|/\.\.)$")
+    return F.when(trailing & (F.size(norm_col) > 0),
+                  F.concat(joined, F.lit("/"))).otherwise(joined)
+
+
+def _dot_segment_fold(path_col):
+    """array<string> of path segments with '.' dropped and '..' popping
+    the previous segment ('..' at root is ignored, per RFC 3986) — a
+    JVM-side aggregate fold, no Python."""
+    segs = F.filter(F.split(path_col, "/"),
+                    lambda s: (s != "") & (s != "."))
+    return F.aggregate(
+        segs, F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            s == "..",
+            F.when(F.size(acc) > 0, F.slice(acc, 1, F.size(acc) - 1))
+            .otherwise(acc)
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def resolve_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """(url, target): every ``<a href>`` — absolute, protocol-relative,
+    root-relative, or path-relative — resolved to an absolute URL
+    against the page's base (an absolute ``<base href>`` wins over the
+    page url, first occurrence), entirely in JVM expressions: regex
+    extraction, CASE dispatch, and an aggregate fold for RFC 3986
+    dot-segment removal.  Real crawl HTML is mostly relative links, so
+    in-degree/PageRank over `extract_outlinks` (absolute-only)
+    under-count on realistic pages — this is the extractor a host-level
+    webgraph should feed (see `host_edges`).
+
+    Per-href semantics: fragments strip everywhere (crawl identity);
+    queries survive; non-http(s) schemes (mailto:, javascript:) and
+    empty hrefs drop; pages whose base has no http(s) host drop.
+    Zero Python, zero shuffle — four narrow fused projections (HOF and
+    multiply-referenced subtrees are staged per the no-CSE discipline).
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_A_HREF_RE), 1)
+    braw = F.regexp_extract(F.col(html_col), _BASE_HREF_RE, 1)
+    base = F.when(braw != "", braw).otherwise(F.col(url_col))
+    a = pages.select(F.col(url_col).alias("url"), hrefs.alias("_hs"),
+                     base.alias("_base"))
+    b = a.select(
+        "url", "_hs",
+        F.regexp_extract("_base", r"^(https?)://", 1).alias("_scheme"),
+        F.regexp_extract("_base", r"^https?://([^/?#]+)", 1).alias("_host"),
+        F.regexp_extract("_base", r"^https?://[^/?#]+(/[^?#]*)?", 1)
+        .alias("_bpath"))
+    bdir = F.when(F.col("_bpath") == "", F.lit("/")) \
+        .otherwise(F.regexp_replace("_bpath", r"[^/]*$", ""))
+    c = (b.filter(F.col("_host") != "")
+         .select("url", "_scheme", "_host", bdir.alias("_bdir"),
+                 F.explode("_hs").alias("_h0")))
+    h = F.regexp_replace(F.col("_h0"), r"#.*$", "")   # strip fragment
+    d = c.select("url", "_scheme", "_host", "_bdir", h.alias("_h"))
+    hpath = F.regexp_extract("_h", r"^[^?]*", 0)
+    hquery = F.regexp_extract("_h", r"(\?.*)$", 1)
+    is_abs = F.col("_h").rlike(r"^https?://")
+    is_proto_rel = F.col("_h").rlike("^//")
+    is_root = F.col("_h").rlike("^/") & ~is_proto_rel
+    has_scheme = F.col("_h").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    # the raw (pre-normalization) path of the root/relative target;
+    # NULL for every other class — the fold below runs on this once
+    rawpath = (
+        F.when(is_abs | is_proto_rel | has_scheme | (F.col("_h") == ""),
+               F.lit(None).cast("string"))
+        .when(is_root, hpath)
+        .otherwise(F.concat(F.col("_bdir"), hpath)))
+    e = d.select("url", "_scheme", "_host", "_h",
+                 rawpath.alias("_rp"), hquery.alias("_q"))
+    # stage the fold (HOFs are never CSE'd; _normalized_path reads it
+    # twice: size guard + join)
+    f = e.select("url", "_scheme", "_host", "_h", "_rp", "_q",
+                 _dot_segment_fold(F.col("_rp")).alias("_segs"))
+    resolved_rel = F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"),
+                            _normalized_path(F.col("_segs"), F.col("_rp")),
+                            F.col("_q"))
+    target = (
+        F.when(F.col("_h") == "", F.lit(None).cast("string"))
+        .when(F.col("_h").rlike(r"^https?://"), F.col("_h"))
+        .when(F.col("_h").rlike("^//"),
+              F.concat(F.col("_scheme"), F.lit(":"), F.col("_h")))
+        .when(F.col("_h").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
+              F.lit(None).cast("string"))
+        .otherwise(resolved_rel))
+    return (f.select("url", target.alias("target"))
+            .filter(F.col("target").isNotNull()))
+
+
+def host_edges(links: DataFrame, src_url_col: str = "url",
+               dst_url_col: str = "target", psl: bool = True,
+               drop_self: bool = True) -> DataFrame:
+    """(src_host, dst_host, n): the page-level edge list aggregated to
+    host granularity — registrable domain (full-PSL eTLD+1) by default,
+    matching the granularity Common-Crawl publishes its webgraph ranks
+    at; ``psl=False`` keeps the raw hostname.  ``drop_self`` removes
+    intra-host edges (the navigation chrome that would otherwise
+    dominate every host's in-degree).  One shuffle (the groupBy); the
+    domain derivation is the zero-shuffle PSL projection cascade."""
+    from . import curation as cu
+
+    if psl:
+        e = cu.with_registrable_domain(links, src_url_col, "src_host")
+        e = cu.with_registrable_domain(e, dst_url_col, "dst_host")
+    else:
+        e = links.withColumn(
+            "src_host", cu.extract_domain(F.col(src_url_col)))
+        e = e.withColumn(
+            "dst_host", cu.extract_domain(F.col(dst_url_col)))
+    e = e.filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return (e.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def inlink_counts(links: DataFrame,
                   target_col: str = "target") -> DataFrame:
     """In-degree per target url: one partial-agg groupBy (map-side
@@ -100,7 +229,9 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
              src_col: str = "src", dst_col: str = "dst",
              scratch_dir: str | None = None,
              seeds: DataFrame | None = None,
-             num_seeds: int | None = None) -> DataFrame:
+             num_seeds: int | None = None,
+             redistribute_dangling: bool = False,
+             key_type: str | None = "bigint") -> DataFrame:
     """Damped PageRank over (src, dst) edges in BIGINT fixed point:
     returns (id, rank) with rank ~= pagerank * `scale`, truncated.
 
@@ -129,6 +260,22 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
     `scratch_dir`: optional parquet barrier per round for iteration
     counts large enough that linear lineage growth matters (executors
     must be able to read it on a non-local master).
+
+    ``redistribute_dangling=True`` closes the default variant's mass
+    leak: each round, the total rank held by dangling nodes (no
+    outlinks) is shipped through the teleport set like link mass —
+    in the SAME truncating BIGINT discipline::
+
+        D       = sum(rank over dangling nodes)
+        extra_i = D div n_tel          if i teleports else 0
+        rank'   = base_i + (num * (sum(contrib) + extra_i)) div den
+
+    One extra aggregation per round; the dangling total rides a
+    broadcast 1-row frame (never a driver action inside the loop).
+    The rank lineage is referenced TWICE per round under this flag
+    (contribs + dangling sum), so the symbolic plan doubles per
+    iteration — pass `scratch_dir` beyond ~6 rounds (the parquet
+    barrier resets it; see the connected-components planning note).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
@@ -136,8 +283,14 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         raise ValueError("pagerank: need 0 < damping_num < damping_den")
 
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).cast("bigint").alias("src"),
-                     F.col(dst_col).cast("bigint").alias("dst"))
+    def _key(c):
+        # key_type=None runs the fixed point over the column's own type
+        # (e.g. registrable-domain strings from `host_edges`): the
+        # arithmetic never touches the key, it only groups/joins on it
+        return F.col(c).cast(key_type) if key_type else F.col(c)
+
+    e = edges.select(_key(src_col).alias("src"),
+                     _key(dst_col).alias("dst"))
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
              .distinct())
@@ -149,8 +302,10 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         return spark.read.parquet(f"{scratch_dir}/{name}")
 
     if seeds is not None:
+        scol = F.col(seeds.columns[0])
         seed_ids = seeds.select(
-            F.col(seeds.columns[0]).cast("bigint").alias("id")).distinct()
+            (scol.cast(key_type) if key_type else scol)
+            .alias("id")).distinct()
         if num_seeds is None:
             num_seeds = seed_ids.count()
         if num_seeds < 1:
@@ -185,6 +340,7 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         "id", F.when(F.col("_teleports"), F.lit(scale // n_tel))
         .otherwise(F.lit(0)).alias("rank"))
 
+    dang_src = outdeg.select(F.col("src").alias("id"))
     for rnd in range(iterations):
         contrib = (cedges.join(ranks.withColumnRenamed("id", "src"),
                                "src")
@@ -192,11 +348,21 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
                            F.expr("rank div outdeg").alias("_c")))
         sums = contrib.groupBy("id").agg(
             F.sum("_c").alias("_m"))
+        joined = nodes.join(sums, "id", "left")
+        if redistribute_dangling:
+            dang = (ranks.join(dang_src, "id", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                         .cast("bigint").alias("_D")))
+            joined = joined.crossJoin(F.broadcast(dang))
+            shipped_sql = (f"coalesce(_m, 0) + (case when _teleports "
+                           f"then _D div {n_tel} else 0 end)")
+        else:
+            shipped_sql = "coalesce(_m, 0)"
         ranks = _barrier(
-            nodes.join(sums, "id", "left")
-            .select("id",
-                    (base
-                     + F.expr(f"({damping_num} * coalesce(_m, 0)) "
-                              f"div {damping_den}")).alias("rank")),
+            joined.select(
+                "id",
+                (base
+                 + F.expr(f"({damping_num} * ({shipped_sql})) "
+                          f"div {damping_den}")).alias("rank")),
             f"ranks_{rnd}")
     return ranks

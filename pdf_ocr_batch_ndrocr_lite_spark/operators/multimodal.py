@@ -81,7 +81,21 @@ def _image_header_meta(raw: bytes, kind: str):
             float(meta["dpi_x"]))
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def demo_encoder(payload: bytes, kind: str, dim: int = 8):
+    """Deterministic NON-default encoder proving the `media_features`
+    seam end-to-end (q91): kind-salted md5, features are dyadic
+    rationals (byte/256*2-1 — exactly representable in float32 AND
+    float64, so a double-precision SQL oracle matches bitwise through
+    the array<float> schema).  A real deployment injects its image /
+    audio tower through the same signature."""
+    digest = hashlib.md5(
+        (payload or b"") + (kind or "").encode("utf-8")).digest()
+    feats = [(digest[2 * i] / 256.0) * 2.0 - 1.0 for i in range(dim)]
+    n_frames = 1 if kind == "image" else 1 + digest[1] % 9
+    return feats, n_frames
+
+
+def media_features(media: DataFrame, encoder=None) -> DataFrame:
     """Vectorized feature extraction over binary media: one mapInPandas
     stage, Arrow-batched; batch size bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch so giant payloads never
@@ -90,8 +104,15 @@ def media_features(media: DataFrame) -> DataFrame:
     Image rows additionally carry REAL header metadata (fmt, width,
     height, normalized dpi) parsed from the payload bytes — the
     reference's ``_prepare_image`` semantics (app.py:1470-1520) with no
-    codec; only the pixel-level feature vector stays on the md5 stub.
-    """
+    codec.
+
+    ``encoder``: the injection seam for a real media tower — a
+    picklable ``(payload: bytes, kind: str) -> (feature: list[float],
+    n_frames: int)`` callable (the ``run_ocr(engine=...)`` pattern,
+    ocr_engine.py).  Default None keeps the deterministic md5 stub
+    (oracle-twinned in DuckDB); the digest column is always the
+    stage-computed payload md5 regardless of encoder.  The stage stays
+    ONE mapInPandas either way (plan-tested)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "kind", "n_bytes", "digest", "feature",
@@ -103,7 +124,12 @@ def media_features(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 raw = bytes(payload or b"")
-                digest, feats, n_frames = _fake_decode_features(raw, kind)
+                if encoder is None:
+                    digest, feats, n_frames = _fake_decode_features(
+                        raw, kind)
+                else:
+                    digest = hashlib.md5(raw).hexdigest()
+                    feats, n_frames = encoder(raw, kind)
                 fmt, w, h, dpi = _image_header_meta(raw, kind)
                 out.append({
                     "media_id": mid, "kind": kind, "n_bytes": len(raw),

@@ -131,6 +131,93 @@ def test_extract_anchors_pairs_and_truncation(spark):
                    ("https://b.org/", "has ")]
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """edges 0->1, 1->2 (node 2 dangling), scale=900, N=3, base=45,
+    init=300 each.  With redistribution: D=300, extra=300//3=100 per
+    node -> r1 = (45+85*100//100, 45+85*400//100, 45+85*400//100)
+    = (130, 385, 385), total 900 — mass conserved.  Without: the
+    default leaks D (total 645)."""
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["id"]: r["rank"]
+           for r in lg.pagerank(edges, iterations=1, scale=900,
+                                redistribute_dangling=True).collect()}
+    assert got == {0: 130, 1: 385, 2: 385}
+    assert sum(got.values()) == 900
+    leak = {r["id"]: r["rank"]
+            for r in lg.pagerank(edges, iterations=1,
+                                 scale=900).collect()}
+    assert leak == {0: 45, 1: 300, 2: 300}
+
+
+def test_resolve_links_all_classes(spark):
+    """Every href class resolves per RFC 3986 against the page url (or
+    an absolute <base href> when present): relative, root-relative,
+    parent ('..' pops; over-popping clamps at root), protocol-relative,
+    absolute (fragment stripped, query kept), trailing-slash directory
+    form; mailto/empty drop; a page whose base has no http(s) host
+    yields nothing."""
+    rows = [
+        ("https://a.org/d/e/page.html",
+         '<a href="x/y.html">1</a>'
+         '<a href="/root/z">2</a>'
+         '<a href="../up.html">3</a>'
+         '<a href="../../../toofar.html">4</a>'
+         '<a href="//b.org/pr">5</a>'
+         '<a href="https://c.org/abs#frag">6</a>'
+         '<a href="mailto:x@y.z">7</a>'
+         '<a href="./same.html?q=1#f">8</a>'
+         '<a href="dir/">9</a>'
+         '<a href="">10</a>'),
+        ("https://d.org/p.html",
+         '<base href="https://base.net/bd/sub/">'
+         '<a href="rel.html">1</a><a href="/r">2</a>'),
+        ("not-a-url", '<a href="x.html">only</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted((r["url"], r["target"])
+                 for r in lg.resolve_links(df).collect())
+    assert got == sorted([
+        ("https://a.org/d/e/page.html", "https://a.org/d/e/x/y.html"),
+        ("https://a.org/d/e/page.html", "https://a.org/root/z"),
+        ("https://a.org/d/e/page.html", "https://a.org/d/up.html"),
+        ("https://a.org/d/e/page.html", "https://a.org/toofar.html"),
+        ("https://a.org/d/e/page.html", "https://b.org/pr"),
+        ("https://a.org/d/e/page.html", "https://c.org/abs"),
+        ("https://a.org/d/e/page.html",
+         "https://a.org/d/e/same.html?q=1"),
+        ("https://a.org/d/e/page.html", "https://a.org/d/e/dir/"),
+        ("https://d.org/p.html", "https://base.net/bd/sub/rel.html"),
+        ("https://d.org/p.html", "https://base.net/r"),
+    ])
+
+
+def test_resolve_links_is_jvm_side_zero_shuffle(spark):
+    """The resolver is pure projections + one explode: no Exchange, no
+    Python (BatchEvalPython/ArrowEval must not appear)."""
+    df = spark.createDataFrame(
+        [("https://a.org/", '<a href="x">t</a>')], "url string, html string")
+    phys = lg.resolve_links(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in phys
+    assert "EvalPython" not in phys
+
+
+def test_host_edges_psl_aggregation_and_self_loop_drop(spark):
+    """Page-level links aggregate to registrable-domain granularity:
+    sub.a.co.jp and www.a.co.jp are ONE node (a.co.jp); intra-domain
+    chrome edges drop by default."""
+    links = spark.createDataFrame(
+        [("https://sub.a.co.jp/p", "https://www.a.co.jp/q"),   # self
+         ("https://sub.a.co.jp/p", "https://b.org/x"),
+         ("https://www.a.co.jp/r", "https://b.org/y"),
+         ("https://b.org/x", "https://a.co.jp/z")],
+        "url string, target string")
+    got = sorted(map(tuple, lg.host_edges(links).collect()))
+    assert got == [("a.co.jp", "b.org", 2), ("b.org", "a.co.jp", 1)]
+    kept_self = lg.host_edges(links, drop_self=False)
+    assert kept_self.count() == 3  # the self-loop group survives
+
+
 def test_extract_anchors_ignores_non_anchor_hrefs(spark):
     """<link>/<base> tags carrying an absolute href must NOT attribute
     the following text as anchor text — the pattern is anchored on the

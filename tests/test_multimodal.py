@@ -95,3 +95,40 @@ def test_media_features_image_header_metadata(spark):
             and r["height"] is None and r["dpi"] is None, r
     # the md5 stub columns still populate for every row
     assert all(len(got[m]["digest"]) == 32 for m in got)
+
+
+def test_media_features_encoder_seam(spark):
+    """An injected (payload, kind) -> (feature, n_frames) encoder
+    replaces the md5 stub without touching digest/metadata columns or
+    the stage shape: features match a local recompute, the default
+    path is unchanged, and the plan stays ONE python stage."""
+    import hashlib
+
+    media = _media(spark, 30)
+    out = {r["media_id"]: r
+           for r in mm.media_features(media,
+                                      encoder=mm.demo_encoder).collect()}
+    src = {r["media_id"]: (bytes(r["payload"]), r["kind"])
+           for r in media.collect()}
+    for mid, (payload, kind) in src.items():
+        feats, n_frames = mm.demo_encoder(payload, kind)
+        r = out[mid]
+        assert list(r["feature"]) == [float(f) for f in feats] or \
+            all(abs(a - b) < 1e-12 for a, b in zip(r["feature"], feats))
+        assert r["n_frames"] == n_frames
+        # digest stays the stage-computed payload md5, encoder-agnostic
+        assert r["digest"] == hashlib.md5(payload).hexdigest()
+    phys = mm.media_features(media, encoder=mm.demo_encoder) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("MapInPandas") == 1
+
+
+def test_demo_encoder_features_dyadic_exact(spark):
+    """demo_encoder features are dyadic rationals: exact in float32, so
+    the array<float> schema round-trips them bit-identically (the q91
+    oracle contract)."""
+    import struct
+
+    feats, _ = mm.demo_encoder(b"payload", "audio")
+    for f in feats:
+        assert struct.unpack("f", struct.pack("f", f))[0] == f
