@@ -96,7 +96,10 @@ def bench_queries(spark):
              # round-7: canonical-url recrawl dedup (projection-keyed
              # window), batched k-NN join over IVF cells, fixed-point
              # PageRank (3 joined rounds over the 200-node graph)
-             "q83_url_dedup", "q81_knn_join", "q85_pagerank"]
+             "q83_url_dedup", "q81_knn_join", "q85_pagerank",
+            # round-8: RFC-3986 link resolution (regex dispatch +
+            # dot-segment fold over every href)
+            "q89_resolve_links"]
     # round-6 (judge item 7): single-shot picks — stable fixed-size
     # workloads whose cost is dominated by per-round barrier / stage
     # overhead, so one shot per round gives a clean round-over-round
@@ -105,7 +108,12 @@ def bench_queries(spark):
     # q71 (two chained minhash pipelines over the fixed 420-doc
     # batch/corpus split, stage-count-bound at ~30 s).
     single_shot = ["q59_dup_clusters", "q60_cluster_keep_best",
-                   "q61_transitive_dedup", "q71_stream_batch_dedup"]
+                   "q61_transitive_dedup", "q71_stream_batch_dedup",
+                   # round-8: host-level webgraph (resolve -> double PSL
+                   # cascade -> 2 PageRank rounds, barriered both seams);
+                   # cost is dominated by the fixed codegen-fallback +
+                   # barrier overhead (BASELINE.md r8), so single-shot
+                   "q90_host_pagerank"]
     # bench hygiene (round 7): build-once fixture caches are warmed
     # OUTSIDE the timed window — a driver run on a fresh /tmp otherwise
     # pays q40/q41 corpus synthesis inside the first repeat (the

@@ -23,6 +23,18 @@ Scale design
 - Dangling nodes (in-links but no outlinks) keep receiving rank but
   redistribute nothing — the standard "mass leak" fixed-point variant;
   deterministic, and exactly reproducible in the SQL oracle.
+  ``redistribute_dangling=True`` closes the leak (q88 oracle).
+- `resolve_links` resolves relative/protocol-relative/root-relative
+  hrefs against the page url or an absolute ``<base href>`` — all JVM
+  expressions (RFC 3986 dot segments via an aggregate fold).
+  `host_edges` aggregates the resolved graph to registrable-domain
+  granularity (full-PSL eTLD+1) — the granularity Common-Crawl
+  publishes webgraph ranks at; `pagerank(key_type=None)` then runs the
+  fixed point directly on the host strings.  ALWAYS materialize
+  between resolve_links → host_edges → pagerank (localCheckpoint or
+  parquet): the resolver + double PSL cascade exceeds the 64KB codegen
+  method budget and would inline into every pagerank round
+  (BASELINE.md r8).
 """
 
 from __future__ import annotations
