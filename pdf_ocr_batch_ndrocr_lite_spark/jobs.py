@@ -84,6 +84,22 @@ def parse_args(argv):
                    help="enable the line-level pre-pass: strip lines "
                         "present in more than this many documents "
                         "before doc-level curation (curate mode)")
+    # webgraph mode: --input is a PAGES table (url, html); runs
+    # resolve_links -> host_edges (eTLD+1) -> PageRank and writes the
+    # (host, rank) table
+    p.add_argument("--webgraph", action="store_true",
+                   help="build the host-level webgraph rank table "
+                        "instead of extracting (input: pages table)")
+    p.add_argument("--pr-iterations", type=int, default=3,
+                   help="PageRank rounds (webgraph mode)")
+    p.add_argument("--redistribute-dangling", action="store_true",
+                   help="close the dangling-mass leak through the "
+                        "teleport set (webgraph mode)")
+    p.add_argument("--keep-self-links", action="store_true",
+                   help="keep intra-domain edges (webgraph mode)")
+    p.add_argument("--trust-seeds", default=None,
+                   help="parquet/Iceberg table of trusted hosts -> "
+                        "TrustRank instead of PageRank (webgraph mode)")
     p.add_argument("--curate-scratch", default=None,
                    help="stage-barrier scratch path for curate mode "
                         "(shared storage on a cluster); default: a "
@@ -118,6 +134,44 @@ def main(argv=None) -> int:
     def read_table(name):
         return (spark.read.table(name) if args.iceberg
                 else spark.read.parquet(name))
+
+    if args.webgraph:
+        from .plans.webgraph import run_webgraph
+        if args.synthetic_docs:
+            pages = corpus_df(spark, args.synthetic_docs, seed=args.seed)
+        else:
+            pages = read_table(args.input)
+        seeds = read_table(args.trust_seeds) if args.trust_seeds else None
+        # stage barrier (same ownership rules as curate mode): parquet
+        # scratch so the resolver/PSL lineage is cut between stages and
+        # executors can re-read it on a non-local master
+        scratch = args.curate_scratch
+        own_scratch = None
+        if scratch is None and spark.sparkContext.master.startswith("local"):
+            import tempfile
+            scratch = own_scratch = tempfile.mkdtemp(
+                prefix="spark_graft_webgraph_")
+        t0 = time.perf_counter()
+        try:
+            ranks, counts = run_webgraph(
+                pages, iterations=args.pr_iterations,
+                redistribute_dangling=args.redistribute_dangling,
+                drop_self=not args.keep_self_links,
+                scratch_dir=scratch, seeds=seeds)
+            if args.iceberg:
+                ranks.writeTo(args.output).createOrReplace()
+            else:
+                ranks.write.mode("overwrite").parquet(args.output)
+            counts["hosts"] = spark.read.parquet(args.output).count() \
+                if not args.iceberg else ranks.count()
+        finally:
+            if own_scratch is not None:
+                import shutil
+                shutil.rmtree(own_scratch, ignore_errors=True)
+        counts["seconds"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(counts))
+        spark.stop()
+        return 0
 
     if args.curate:
         from pyspark.sql import functions as F

@@ -340,6 +340,11 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
     else:
         if num_nodes is None:
             num_nodes = nodes.count()
+        if num_nodes < 1:
+            raise ValueError(
+                "pagerank: empty graph (no edges => no nodes); callers "
+                "composing over extracted links should handle the "
+                "zero-edge corpus before ranking (plans.webgraph does)")
         nodes = nodes.withColumn("_teleports", F.lit(True))
         n_tel = num_nodes
 

@@ -230,3 +230,50 @@ def test_extract_anchors_ignores_non_anchor_hrefs(spark):
     got = [(r["target"], r["anchor"])
            for r in lg.extract_anchors(df).collect()]
     assert got == [("https://real.org/", "yes")]
+
+
+def test_run_webgraph_end_to_end(spark, tmp_path):
+    """Composed job: binary html decodes, stages barrier through the
+    scratch dir, and the ranks equal the direct operator composition."""
+    from pdf_ocr_batch_ndrocr_lite_spark.plans.webgraph import run_webgraph
+
+    rows = []
+    for i in range(30):
+        n, m = i % 3, (i + 1) % 3
+        html = (f'<a href="../x{i % 5}.html">rel</a>'
+                f'<a href="https://dom{m}.org/abs">abs</a>')
+        rows.append((f"https://sub.dom{n}.org/a/p{i}.html",
+                     html.encode("utf-8")))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    ranks, counts = run_webgraph(pages, iterations=2,
+                                 scratch_dir=str(tmp_path))
+    got = sorted(map(tuple, ranks.collect()))
+    assert counts["links"] == 60
+    # rel links are intra-domain (dropped); abs links ring dom0->dom1->
+    # dom2->dom0 at eTLD+1 granularity
+    assert counts["host_edges"] == 3
+    # direct composition (localCheckpoint barriers) must agree exactly
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import linkgraph as lgo
+    src = pages.select("url", F.col("html").cast("string").alias("html"))
+    links = lgo.resolve_links(src).localCheckpoint(eager=False)
+    edges = lgo.host_edges(links).localCheckpoint(eager=False)
+    want = sorted(
+        (r["id"], r["rank"])
+        for r in lgo.pagerank(edges, iterations=2, src_col="src_host",
+                              dst_col="dst_host",
+                              key_type=None).collect())
+    assert got == want
+
+
+def test_run_webgraph_empty_graph_returns_typed_empty(spark, tmp_path):
+    """An anchor-free shard yields an empty (host, rank) frame, not a
+    pagerank empty-node error."""
+    from pdf_ocr_batch_ndrocr_lite_spark.plans.webgraph import run_webgraph
+
+    pages = spark.createDataFrame(
+        [("https://a.org/", b"<p>no links here</p>")],
+        "url string, html binary")
+    ranks, counts = run_webgraph(pages, scratch_dir=str(tmp_path))
+    assert counts["host_edges"] == 0
+    assert ranks.count() == 0
+    assert [f.name for f in ranks.schema.fields] == ["host", "rank"]

@@ -920,3 +920,20 @@ def test_per_domain_cap_mega_domain_probe(spark):
     # phase 1 splits the hot key across input partitions
     assert "SPARK_PARTITION_ID" in phys.upper()
     assert phys.count("Window [") == 2
+
+
+def test_exact_quantiles_ranks_over_value_counts(spark):
+    """r8: the quantile window must run over PRE-AGGREGATED
+    (value, count) pairs — distinct values per group — never over raw
+    rows (the un-splittable hot-stratum sort, same class as the r7
+    digest-window finding).  percentile_disc picks a VALUE and ties
+    share their value, so results are unchanged."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import quantiles as qt
+    df = spark.createDataFrame([("g", 1, i) for i in range(5)]
+                               + [("g", 2, 5)], "g string, v int, id int")
+    out = qt.exact_quantiles(df, "g", "v", [0.5], tiebreak_col="id")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in phys          # combining agg below the window
+    assert phys.index("Window") < phys.index("partial_count")
+    # p50 of [1,1,1,1,1,2]: rank ceil(0.5*6)=3 -> 1 (tied rows collapse)
+    assert out.collect()[0]["value"] == 1
