@@ -30,11 +30,14 @@ Scale design
   `host_edges` aggregates the resolved graph to registrable-domain
   granularity (full-PSL eTLD+1) — the granularity Common-Crawl
   publishes webgraph ranks at; `pagerank(key_type=None)` then runs the
-  fixed point directly on the host strings.  ALWAYS materialize
-  between resolve_links → host_edges → pagerank (localCheckpoint or
-  parquet): the resolver + double PSL cascade exceeds the 64KB codegen
-  method budget and would inline into every pagerank round
-  (BASELINE.md r8).
+  fixed point directly on the host strings; `with_host_rank` joins the
+  rank table back onto documents (the keep-list / weighting signal a
+  curation cascade consumes).  ALWAYS materialize between
+  resolve_links → host_edges → pagerank (localCheckpoint or parquet):
+  the resolver + double PSL cascade exceeds the 64KB codegen method
+  budget and would inline into every pagerank round (BASELINE.md r8).
+  `plans.webgraph.run_webgraph` is the composed job; `jobs.py
+  --webgraph` the CLI.
 """
 
 from __future__ import annotations
@@ -225,6 +228,34 @@ def host_edges(links: DataFrame, src_url_col: str = "url",
         e = e.filter(F.col("src_host") != F.col("dst_host"))
     return (e.groupBy("src_host", "dst_host")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def with_host_rank(docs: DataFrame, ranks: DataFrame,
+                   url_col: str = "url", host_col: str = "host",
+                   rank_col: str = "rank", out_col: str = "host_rank",
+                   psl: bool = True) -> DataFrame:
+    """Attach the webgraph rank of each document's registrable domain —
+    the source-quality signal a curation cascade filters/weights by
+    (CCNet/RefinedWeb keep-lists are exactly this join).  Documents on
+    unranked hosts get NULL (absence is data: isolated hosts rank
+    nothing).
+
+    Join strategy is left to the optimizer: the rank table is bounded
+    by HOST count, orders of magnitude below document count, but at
+    web scale that is still ~10^8 registrable domains — forcing a
+    broadcast would violate the no-unbounded-broadcast invariant; AQE
+    picks broadcast exactly when the runtime size allows."""
+    from . import curation as cu
+
+    if psl:
+        keyed = cu.with_registrable_domain(docs, url_col, "_wh_host")
+    else:
+        keyed = docs.withColumn("_wh_host",
+                                cu.extract_domain(F.col(url_col)))
+    r = ranks.select(F.col(host_col).alias("_wh_host"),
+                     F.col(rank_col).alias(out_col))
+    return keyed.join(r, "_wh_host", "left") \
+        .withColumnRenamed("_wh_host", "host")
 
 
 def inlink_counts(links: DataFrame,

@@ -277,3 +277,18 @@ def test_run_webgraph_empty_graph_returns_typed_empty(spark, tmp_path):
     assert counts["host_edges"] == 0
     assert ranks.count() == 0
     assert [f.name for f in ranks.schema.fields] == ["host", "rank"]
+
+
+def test_with_host_rank_join_back_and_null_for_unranked(spark):
+    """Documents get their registrable domain's rank; a doc on an
+    unranked host gets NULL (absence is data); no forced broadcast."""
+    docs = spark.createDataFrame(
+        [(1, "https://www.a.co.jp/x"), (2, "https://sub.a.co.jp/y"),
+         (3, "https://nowhere.org/z")],
+        "doc_id int, url string")
+    ranks = spark.createDataFrame([("a.co.jp", 777)],
+                                  "host string, rank long")
+    out = {r["doc_id"]: (r["host"], r["host_rank"])
+           for r in lg.with_host_rank(docs, ranks).collect()}
+    assert out == {1: ("a.co.jp", 777), 2: ("a.co.jp", 777),
+                   3: ("nowhere.org", None)}
