@@ -101,6 +101,14 @@ def extract_anchors(pages: DataFrame, html_col: str = "html",
                     F.col("_p.a").alias("anchor")))
 
 
+#: resolve_links matches ALL three HTML quoting styles (double, single,
+#: unquoted) and requires a real attribute boundary before `href` so
+#: `data-href=` can't false-positive.  Group 2 captures the raw value
+#: WITH its quotes (or bare) — the per-element split strips them, so
+#: exactly one extract runs per match.  extract_outlinks /
+#: extract_anchors keep their double-quote-only spec (oracle-frozen).
+_A_HREF_ANY_RE = (r'<a\s([^>]*\s)?href\s*=\s*'
+                  r'("[^"]*"|\'[^\']*\'|[^\s>"\']+)')
 _A_HREF_RE = r'<a\s[^>]*href="([^"]+)"'
 _BASE_HREF_RE = r'<base\s[^>]*href="(https?://[^"]+)"'
 
@@ -151,7 +159,15 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
     Zero Python, zero shuffle — four narrow fused projections (HOF and
     multiply-referenced subtrees are staged per the no-CSE discipline).
     """
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_A_HREF_RE), 1)
+    rawvals = F.regexp_extract_all(F.col(html_col),
+                                   F.lit(_A_HREF_ANY_RE), 2)
+    # strip the quoting style per element (group 2 keeps the quotes so
+    # one extract covers all three alternatives)
+    hrefs = F.transform(
+        rawvals,
+        lambda v: F.when(F.substring(v, 1, 1).isin('"', "'"),
+                         v.substr(F.lit(2), F.length(v) - 2))
+        .otherwise(v))
     braw = F.regexp_extract(F.col(html_col), _BASE_HREF_RE, 1)
     base = F.when(braw != "", braw).otherwise(F.col(url_col))
     a = pages.select(F.col(url_col).alias("url"), hrefs.alias("_hs"),

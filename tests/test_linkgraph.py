@@ -292,3 +292,23 @@ def test_with_host_rank_join_back_and_null_for_unranked(spark):
            for r in lg.with_host_rank(docs, ranks).collect()}
     assert out == {1: ("a.co.jp", 777), 2: ("a.co.jp", 777),
                    3: ("nowhere.org", None)}
+
+
+def test_resolve_links_quote_styles_and_attr_boundary(spark):
+    """resolve_links accepts double-quoted, single-quoted, spaced-equals
+    and unquoted hrefs (real crawl HTML uses all three styles), while
+    `data-href=` can never false-positive (attribute boundary) and an
+    empty href still drops."""
+    rows = [("https://a.org/d/p.html",
+             "<a href='x/y.html'>sq</a>"
+             '<a href=bare.html>unq</a>'
+             '<a class="c" href = "spaced.html">sp</a>'
+             '<a data-href="https://evil.org/no">decoy</a>'
+             '<a href="">empty</a>'
+             '<a href="https://b.org/abs">abs</a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(r["target"] for r in lg.resolve_links(df).collect())
+    assert got == sorted(["https://a.org/d/x/y.html",
+                          "https://a.org/d/bare.html",
+                          "https://a.org/d/spaced.html",
+                          "https://b.org/abs"])
