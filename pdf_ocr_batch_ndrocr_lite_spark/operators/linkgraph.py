@@ -109,8 +109,11 @@ def extract_anchors(pages: DataFrame, html_col: str = "html",
 #: extract_anchors keep their double-quote-only spec (oracle-frozen).
 _A_HREF_ANY_RE = (r'<a\s([^>]*\s)?href\s*=\s*'
                   r'("[^"]*"|\'[^\']*\'|[^\s>"\']+)')
-_A_HREF_RE = r'<a\s[^>]*href="([^"]+)"'
-_BASE_HREF_RE = r'<base\s[^>]*href="(https?://[^"]+)"'
+#: same quoting tolerance for the <base href> override (group 2 keeps
+#: the quoting; only absolute http(s) values qualify as a base)
+_BASE_HREF_ANY_RE = (r'<base\s([^>]*\s)?href\s*=\s*'
+                     r'("https?://[^"]*"|\'https?://[^\']*\''
+                     r'|https?://[^\s>"\']+)')
 
 
 def _normalized_path(norm_col, raw_path_col):
@@ -168,10 +171,19 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
         lambda v: F.when(F.substring(v, 1, 1).isin('"', "'"),
                          v.substr(F.lit(2), F.length(v) - 2))
         .otherwise(v))
-    braw = F.regexp_extract(F.col(html_col), _BASE_HREF_RE, 1)
-    base = F.when(braw != "", braw).otherwise(F.col(url_col))
-    a = pages.select(F.col(url_col).alias("url"), hrefs.alias("_hs"),
-                     base.alias("_base"))
+    # stage the base extract ONCE (it is referenced three times below,
+    # inside when() branches — CASE branches share no subexpression
+    # elimination, and this regex scans the full payload)
+    a0 = pages.select(
+        F.col(url_col).alias("url"), hrefs.alias("_hs"),
+        F.regexp_extract(F.col(html_col), _BASE_HREF_ANY_RE, 2)
+        .alias("_braw"))
+    braw = F.col("_braw")
+    bval = F.when(F.substring(braw, 1, 1).isin('"', "'"),
+                  braw.substr(F.lit(2), F.length(braw) - 2)) \
+        .otherwise(braw)
+    base = F.when(braw != "", bval).otherwise(F.col("url"))
+    a = a0.select("url", "_hs", base.alias("_base"))
     b = a.select(
         "url", "_hs",
         F.regexp_extract("_base", r"^(https?)://", 1).alias("_scheme"),

@@ -312,3 +312,22 @@ def test_resolve_links_quote_styles_and_attr_boundary(spark):
                           "https://a.org/d/bare.html",
                           "https://a.org/d/spaced.html",
                           "https://b.org/abs"])
+
+
+def test_resolve_links_base_quote_styles(spark):
+    """<base href> works in all three quoting styles; a RELATIVE base
+    (no absolute http(s) value) is ignored and the page url resolves."""
+    rows = [("https://d.org/p.html",
+             "<base href='https://base.net/bd/'><a href=\"rel.html\">1</a>"),
+            ("https://e.org/p.html",
+             "<base href=https://bq.net/u/><a href='r2.html'>2</a>"),
+            ("https://f.org/a/p.html",
+             '<base href="/relative-base/"><a href="r3.html">3</a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted((r["url"], r["target"])
+                 for r in lg.resolve_links(df).collect())
+    assert got == [
+        ("https://d.org/p.html", "https://base.net/bd/rel.html"),
+        ("https://e.org/p.html", "https://bq.net/u/r2.html"),
+        ("https://f.org/a/p.html", "https://f.org/a/r3.html"),
+    ]
