@@ -275,6 +275,14 @@ def with_host_rank(docs: DataFrame, ranks: DataFrame,
     picks broadcast exactly when the runtime size allows."""
     from . import curation as cu
 
+    clash = [c for c in docs.columns
+             if c in ("host", "_wh_host", out_col)]
+    if clash:
+        # the join key and outputs use fixed names; silently overwriting
+        # an input column would corrupt the caller's frame — refuse
+        raise ValueError(
+            f"with_host_rank: input columns collide with outputs: "
+            f"{clash} — rename them first")
     if psl:
         keyed = cu.with_registrable_domain(docs, url_col, "_wh_host")
     else:
