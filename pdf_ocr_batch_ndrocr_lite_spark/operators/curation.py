@@ -400,3 +400,72 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     return (keyed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn"))
+
+
+#: rel=canonical declaration, BOTH attribute orders (href may precede
+#: rel); double-quoted href, rel value in any quoting.  Absolute
+#: http(s) targets only — a relative canonical needs base resolution
+#: (linkgraph.resolve_links machinery), out of scope here, documented.
+_CANONICAL_REL_FIRST = (r'<link\s[^>]*rel\s*=\s*["\']?canonical["\']?'
+                        r'[^>]*href\s*=\s*"(https?://[^"]*)"')
+_CANONICAL_HREF_FIRST = (r'<link\s[^>]*href\s*=\s*"(https?://[^"]*)"'
+                         r'[^>]*rel\s*=\s*["\']?canonical["\']?')
+
+
+def canonical_link(pages: DataFrame, html_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """(url, canonical): the page's declared ``rel=canonical`` target —
+    the crawl-dedup signal CDX/WARC pipelines collapse recrawls and
+    mirror urls by before any content hashing.  NULL when the page
+    declares none (absence is data).  First declaration wins; both
+    attribute orders match; absolute http(s) targets only (relative
+    canonicals are rare and need base resolution — callers that want
+    them resolve via linkgraph.resolve_links).  Pure projection, zero
+    shuffle; the two regex extracts are staged in ONE projection and
+    the when() reads the staged columns (no-CSE discipline)."""
+    staged = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(html_col), _CANONICAL_REL_FIRST, 1)
+        .alias("_c1"),
+        F.regexp_extract(F.col(html_col), _CANONICAL_HREF_FIRST, 1)
+        .alias("_c2"))
+    canonical = F.when(F.col("_c1") != "", F.col("_c1")) \
+        .when(F.col("_c2") != "", F.col("_c2")) \
+        .otherwise(F.lit(None).cast("string"))
+    return staged.select("url", canonical.alias("canonical"))
+
+
+def canonical_dedup(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One page per CANONICAL IDENTITY, first-wins by lowest id: the
+    identity is the page's declared rel=canonical target when present,
+    else its own canonicalized url — so a mirror farm declaring one
+    canonical collapses to a single survivor even when every mirror url
+    canonicalizes differently.  Winner is the combining min-agg +
+    semi-join (dedup.exact_dedup shape): a viral page canonicalized by
+    millions of mirrors is exactly the hot key a window would sort in
+    one task.  Adds ``canon_key`` to the output."""
+    # the canonical extraction is staged INLINE on the pages frame (a
+    # canonical_link + join-back on url would scan the corpus twice —
+    # the shape this round's review removed from ivf_topk)
+    staged = pages.select(
+        *[F.col(c) for c in pages.columns],
+        F.regexp_extract(F.col(html_col), _CANONICAL_REL_FIRST, 1)
+        .alias("_c1"),
+        F.regexp_extract(F.col(html_col), _CANONICAL_HREF_FIRST, 1)
+        .alias("_c2"))
+    key = F.coalesce(
+        F.when(F.col("_c1") != "", F.col("_c1"))
+        .when(F.col("_c2") != "", F.col("_c2")),
+        canonicalize_url(F.col(url_col)),
+        F.concat(F.lit("\x00:"), F.col(id_col).cast("string")),
+        F.concat(F.lit("\x00#"),
+                 F.monotonically_increasing_id().cast("string")))
+    keyed = staged.withColumn("canon_key", key).drop("_c1", "_c2")
+    winners = keyed.groupBy("canon_key").agg(
+        F.min(F.col(id_col)).alias("_wid"))
+    k, w = keyed.alias("k"), winners.alias("w")
+    return k.join(
+        w, (F.col("k.canon_key") == F.col("w.canon_key"))
+        & (F.col(f"k.{id_col}") == F.col("w._wid")), "leftsemi")

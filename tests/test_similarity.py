@@ -705,3 +705,34 @@ def test_url_dedup_null_urls_pass_through(spark):
     df = spark.createDataFrame(rows, "doc_id int, url string")
     got = sorted(r["doc_id"] for r in cu.url_dedup(df).collect())
     assert got == [0, 2, 3, 4]
+
+
+def test_canonical_link_and_dedup(spark):
+    """rel=canonical extraction: both attribute orders, any rel quoting,
+    stylesheet decoys never match, relative canonicals drop; dedup
+    collapses mirrors by declared canonical (distinct urls!) and falls
+    back to the page's canonicalized url, min-agg winner (no window)."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    rows = [
+        (1, "https://m1.org/a",
+         '<link rel=canonical href="https://c.org/x">'),
+        (2, "https://m2.org/b",
+         "<link href=\"https://c.org/x\" rel='canonical'>"),
+        (3, "https://m3.org/c",
+         '<link rel="stylesheet" href="https://cdn.org/s.css">'),
+        (4, "https://m4.org/d",
+         '<link rel="canonical" href="/relative">'),  # relative: drops
+    ]
+    pages = spark.createDataFrame(rows, "doc_id int, url string, html string")
+    got = {r["url"]: r["canonical"]
+           for r in cu.canonical_link(pages).collect()}
+    assert got == {"https://m1.org/a": "https://c.org/x",
+                   "https://m2.org/b": "https://c.org/x",
+                   "https://m3.org/c": None,
+                   "https://m4.org/d": None}
+    out = cu.canonical_dedup(pages)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 4]  # 2 collapses into 1 via the shared canonical
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys
+    assert "partial_min" in phys
