@@ -164,12 +164,13 @@ def bench_clustering_fixed(spark):
 def bench_pagerank_fixed(spark):
     """Fixed-size PageRank benchmark (judge round-7 item 7): q85/q86 run
     a 200-node toy, so round-over-round cost of the rank×edges join was
-    invisible.  Deterministic 200k-node graph, ~600k edges with a
-    power-law-ish degree tail: node i emits 1 + (i % 7) edges, and a
-    64-node "hub head" additionally receives one edge from EVERY 32nd
-    node, so the groupBy(dst) sum sees genuinely hot keys (the skew
-    shape a real host graph has).  3 rounds, default leak variant —
-    sf-independent and comparable round over round."""
+    invisible.  Deterministic 200k-node graph, ~900k distinct edges
+    with a hot head: node i emits 1 + (i % 7) fan edges (dst mixes id
+    AND k), and every other node additionally links one of 64 hub
+    targets (~1.5k in-edges each, measured max in-degree 1,569), so the
+    groupBy(dst) sum sees genuinely hot keys (the skew shape a real
+    host graph has).  3 rounds, default leak variant — sf-independent
+    and comparable round over round."""
     from pyspark.sql import functions as F
 
     from pdf_ocr_batch_ndrocr_lite_spark.operators import linkgraph as lg
@@ -178,13 +179,16 @@ def bench_pagerank_fixed(spark):
     fan = nodes.select(
         "id", F.explode(F.sequence(F.lit(1), F.col("id") % 7 + 1))
         .alias("k"))
-    spread = fan.select(F.col("id").alias("src"),
-                        ((F.col("id") * 2654435761) % 200_000).alias("_m"))
-    spread = spread.select("src", ((F.col("_m") + F.col("src") % 97)
-                                   % 200_000).alias("dst"))
-    hubs = (nodes.filter(F.col("id") % 32 == 0)
+    # dst mixes BOTH id and k so the 1+(i%7) fan edges are distinct
+    spread = fan.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 2654435761 + F.col("k") * 7919) % 200_000)
+        .alias("dst"))
+    # hot head: every other node links one of 64 hub targets (~1.5k
+    # in-edges each) — the groupBy(dst) sum sees genuinely hot keys
+    hubs = (nodes.filter(F.col("id") % 2 == 0)
             .select(F.col("id").alias("src"),
-                    (F.col("id") % 64).alias("dst")))
+                    ((F.col("id") / 2).cast("bigint") % 64).alias("dst")))
     edges = spread.unionByName(hubs).distinct()
     t0 = time.perf_counter()
     ranks = lg.pagerank(edges, num_nodes=200_000, iterations=3)

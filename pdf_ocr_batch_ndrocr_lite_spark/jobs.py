@@ -158,12 +158,15 @@ def main(argv=None) -> int:
                 redistribute_dangling=args.redistribute_dangling,
                 drop_self=not args.keep_self_links,
                 scratch_dir=scratch, seeds=seeds)
+            # count what was WRITTEN (re-read the sink) — counting the
+            # symbolic ranks frame would re-run every unbarriered rank
+            # round a second time
             if args.iceberg:
                 ranks.writeTo(args.output).createOrReplace()
+                counts["hosts"] = spark.read.table(args.output).count()
             else:
                 ranks.write.mode("overwrite").parquet(args.output)
-            counts["hosts"] = spark.read.parquet(args.output).count() \
-                if not args.iceberg else ranks.count()
+                counts["hosts"] = spark.read.parquet(args.output).count()
         finally:
             if own_scratch is not None:
                 import shutil

@@ -466,6 +466,12 @@ def canonical_dedup(pages: DataFrame, html_col: str = "html",
     winners = keyed.groupBy("canon_key").agg(
         F.min(F.col(id_col)).alias("_wid"))
     k, w = keyed.alias("k"), winners.alias("w")
+    # null-SAFE id equality: a NULL-id row owns a unique sentinel key
+    # whose min(id) aggregates to NULL — plain equality would evaluate
+    # NULL and silently drop the row the sentinel exists to pass
+    # through.  (A NULL-id row sharing a DECLARED canonical group loses
+    # to any non-null id — min() ignores NULLs — which is the dedup
+    # semantics we want.)
     return k.join(
         w, (F.col("k.canon_key") == F.col("w.canon_key"))
-        & (F.col(f"k.{id_col}") == F.col("w._wid")), "leftsemi")
+        & (F.col(f"k.{id_col}").eqNullSafe(F.col("w._wid"))), "leftsemi")

@@ -63,7 +63,9 @@ def extract_outlinks(pages: DataFrame, html_col: str = "html",
                          F.explode(links).alias("target")))
 
 
-_ANCHOR_RE = r'<a\s[^>]*href="(https?://[^"]+)"[^>]*>([^<]*)<'
+#: attribute boundary before href (([^>]*\s)?) so data-href can never
+#: false-positive; groups: 2 = href, 3 = anchor text
+_ANCHOR_RE = r'<a\s([^>]*\s)?href="(https?://[^"]+)"[^>]*>([^<]*)<'
 
 
 def extract_anchors(pages: DataFrame, html_col: str = "html",
@@ -94,8 +96,8 @@ def extract_anchors(pages: DataFrame, html_col: str = "html",
     pairs = F.transform(
         F.col("_m"),
         lambda m: F.struct(
-            F.regexp_extract(m, _ANCHOR_RE, 1).alias("t"),
-            F.regexp_extract(m, _ANCHOR_RE, 2).alias("a")))
+            F.regexp_extract(m, _ANCHOR_RE, 2).alias("t"),
+            F.regexp_extract(m, _ANCHOR_RE, 3).alias("a")))
     return (staged.select("url", F.explode(pairs).alias("_p"))
             .select("url", F.col("_p.t").alias("target"),
                     F.col("_p.a").alias("anchor")))
@@ -192,22 +194,31 @@ def resolve_links(pages: DataFrame, html_col: str = "html",
         .alias("_bpath"))
     bdir = F.when(F.col("_bpath") == "", F.lit("/")) \
         .otherwise(F.regexp_replace("_bpath", r"[^/]*$", ""))
+    bfull = F.when(F.col("_bpath") == "", F.lit("/")) \
+        .otherwise(F.col("_bpath"))
     c = (b.filter(F.col("_host") != "")
          .select("url", "_scheme", "_host", bdir.alias("_bdir"),
+                 bfull.alias("_bfull"),
                  F.explode("_hs").alias("_h0")))
     h = F.regexp_replace(F.col("_h0"), r"#.*$", "")   # strip fragment
-    d = c.select("url", "_scheme", "_host", "_bdir", h.alias("_h"))
+    d = c.select("url", "_scheme", "_host", "_bdir", "_bfull",
+                 h.alias("_h"))
     hpath = F.regexp_extract("_h", r"^[^?]*", 0)
     hquery = F.regexp_extract("_h", r"(\?.*)$", 1)
     is_abs = F.col("_h").rlike(r"^https?://")
     is_proto_rel = F.col("_h").rlike("^//")
     is_root = F.col("_h").rlike("^/") & ~is_proto_rel
     has_scheme = F.col("_h").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    is_query_only = F.col("_h").rlike(r"^\?")
     # the raw (pre-normalization) path of the root/relative target;
-    # NULL for every other class — the fold below runs on this once
+    # NULL for every other class — the fold below runs on this once.
+    # A query-only reference ("?page=2", the pagination-link shape)
+    # keeps the FULL base path including the document name (RFC 3986
+    # §5.3: empty reference path + defined query), not the directory.
     rawpath = (
         F.when(is_abs | is_proto_rel | has_scheme | (F.col("_h") == ""),
                F.lit(None).cast("string"))
+        .when(is_query_only, F.col("_bfull"))
         .when(is_root, hpath)
         .otherwise(F.concat(F.col("_bdir"), hpath)))
     e = d.select("url", "_scheme", "_host", "_h",
@@ -275,6 +286,12 @@ def with_host_rank(docs: DataFrame, ranks: DataFrame,
     picks broadcast exactly when the runtime size allows."""
     from . import curation as cu
 
+    if out_col in ("host", "_wh_host"):
+        # out_col="host" would produce TWO 'host' columns after the
+        # join-key rename — ambiguous downstream, refuse up front
+        raise ValueError(
+            f"with_host_rank: out_col {out_col!r} collides with the "
+            "fixed 'host' output / internal join key — pick another")
     clash = [c for c in docs.columns
              if c in ("host", "_wh_host", out_col)]
     if clash:

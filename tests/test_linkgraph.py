@@ -225,6 +225,7 @@ def test_extract_anchors_ignores_non_anchor_hrefs(spark):
     rows = [("p1", '<link href="https://cdn.org/s.css" rel=stylesheet>'
                    'not an anchor<'
                    '<base href="https://base.org/">also not<'
+                   '<a data-href="https://evil.org/no">decoy text<'
                    '<a class="x" href="https://real.org/">yes</a>')]
     df = spark.createDataFrame(rows, "url string, html string")
     got = [(r["target"], r["anchor"])
@@ -331,3 +332,21 @@ def test_resolve_links_base_quote_styles(spark):
         ("https://e.org/p.html", "https://bq.net/u/r2.html"),
         ("https://f.org/a/p.html", "https://f.org/a/r3.html"),
     ]
+
+
+def test_resolve_links_query_only_keeps_document_path(spark):
+    """RFC 3986 5.3: an empty reference path with a query keeps the
+    FULL base path (document name included) — the pagination-link
+    shape; a fragment-only href is same-document and drops."""
+    rows = [("https://a.org/d/e/page.html",
+             '<a href="?page=2">next</a><a href="#sec">frag</a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [r["target"] for r in lg.resolve_links(df).collect()]
+    assert got == ["https://a.org/d/e/page.html?page=2"]
+    # and against a <base href> document path too
+    rows2 = [("https://x.org/p",
+              '<base href="https://b.net/dir/doc.php">'
+              '<a href="?q=1">q</a>')]
+    df2 = spark.createDataFrame(rows2, "url string, html string")
+    got2 = [r["target"] for r in lg.resolve_links(df2).collect()]
+    assert got2 == ["https://b.net/dir/doc.php?q=1"]

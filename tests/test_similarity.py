@@ -736,3 +736,21 @@ def test_canonical_link_and_dedup(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in phys
     assert "partial_min" in phys
+
+
+def test_canonical_dedup_null_id_rows_pass_through(spark):
+    """A NULL-id page with no canonical owns a unique sentinel key and
+    must SURVIVE (null-safe winner join); a NULL-id page sharing a
+    declared canonical group loses to any non-null id."""
+    from pdf_ocr_batch_ndrocr_lite_spark.operators import curation as cu
+    rows = [
+        (None, "https://solo.org/a", "<p>no canonical</p>"),
+        (None, "https://m9.org/z",
+         '<link rel=canonical href="https://c.org/x">'),
+        (7, "https://m1.org/b",
+         '<link rel=canonical href="https://c.org/x">'),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id int, url string, html string")
+    out = cu.canonical_dedup(pages)
+    kept = sorted((r["url"]) for r in out.collect())
+    assert kept == ["https://m1.org/b", "https://solo.org/a"]
