@@ -419,14 +419,16 @@ def shingle_document_frequency(docs: DataFrame, id_col: str = "doc_id",
 # the pair graph and keeps ONE representative per component.
 #
 # Algorithm: iterative min-label propagation with pointer jumping —
-# new_label(v) = min(label(v), label(label(v)), min over neighbors of
-# label(u)).  The pointer-jump join ("shortcutting") makes chains converge
-# in O(log diameter) rounds instead of O(diameter); near-dup graphs are
-# dense blobs with tiny diameter, so rounds ≈ 2-4 in practice.  Each round
-# is two shuffle joins + one combining min — no RDDs, no windows.  The
-# driver-side loop is the documented exception to the no-driver-loops
-# rule: iteration count is O(log d), data never leaves the cluster, and
-# the per-round `count()` is the convergence test (zero label changes).
+# per round, m(v) = min(label(v), min over neighbors of label(u)), then
+# m := m∘m three times (label^8 on the freshly-hopped map).  The
+# pointer-jump joins ("shortcutting") make chains converge in
+# O(log diameter) rounds instead of O(diameter); near-dup graphs are
+# dense blobs with tiny diameter, so rounds ≈ 2-4 in practice.  Each
+# round is one combining union-min + three map self-joins — no RDDs, no
+# windows.  The driver-side loop is the documented exception to the
+# no-driver-loops rule: iteration count is O(log d), data never leaves
+# the cluster, and the convergence test (sum(label) unchanged — labels
+# are monotone non-increasing) rides the barrier write via observe().
 #
 # PER-ROUND BARRIER — parquet round-trip, deliberately NOT checkpoint():
 # the round's labels are written to scratch storage and re-read.  All of
@@ -484,72 +486,74 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
 
-    def _barrier(df: DataFrame, name: str) -> DataFrame:
-        df.write.mode("overwrite").parquet(f"{root}/{name}")
-        return spark.read.parquet(f"{root}/{name}")
+    from pyspark.sql import Observation
 
     half = pairs.select(F.col(a_col).cast("bigint").alias("src"),
                         F.col(b_col).cast("bigint").alias("dst"))
-    edges = _barrier(
-        half.unionByName(half.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst"))).distinct(),
-        "edges")
+    (half.unionByName(half.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).distinct()
+     .write.mode("overwrite").parquet(f"{root}/edges"))
+    edges = spark.read.parquet(f"{root}/edges")
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
 
-    def _resolve(m: DataFrame) -> DataFrame:
-        """One pointer dereference of the (id, label) map against
-        itself: label'(x) = label(label(x)).  Every label value is a
-        real node id (min over reachable ids) and the map covers every
-        node, so the self-join is total."""
-        return (m.alias("x")
-                .join(m.alias("y"), F.col("x.label") == F.col("y.id"))
-                .select(F.col("x.id").alias("id"),
-                        F.col("y.label").alias("label")))
-
+    # Round structure (r9 rewrite, measured A/B in OPTIMIZATION_r09.md):
+    #
+    #   m   = min(label, neighbor labels)   -- ONE union + combining
+    #         groupBy(id).min instead of the previous groupBy + two
+    #         left joins (two fewer exchanges per round)
+    #   m  := m(m(x)) three times            -- pointer jump on the
+    #         FRESH map: label^8 per barrier round via exponential
+    #         composition (each self-join doubles the dereference
+    #         depth).  Jumping the post-hop map instead of the stale
+    #         pre-round labels cut the q59 jaccard graph 14 -> 10
+    #         rounds and the 200k-chain fixed graph 5 -> 3.
+    #   convergence: per-node labels are monotone non-increasing (the
+    #         self leg is in the candidate union), so the map is a
+    #         fixpoint iff sum(label) is unchanged between rounds —
+    #         read via observe() ON THE BARRIER WRITE itself
+    #         (DECIMAL(38,0): exact for any id range), replacing the
+    #         separate changed-count job per round.  The old-label
+    #         join-back that count needed is gone with it.
+    #
+    # A SECOND nbr hop per round (two-hop neighbor min) was A/B'd in
+    # round 7 and again in round 9 and rejected both times: it cuts
+    # rounds on hop-bound graphs but re-runs the full-edge aggregation
+    # per extra hop, a real-volume loss on chain graphs (numbers in
+    # BASELINE.md r7 / OPTIMIZATION_r09.md).  All per-round plan copies
+    # read the same post-barrier parquet relation, so planning cost
+    # stays constant per round (no iterative lineage growth).
+    prev_sum = None
     for rnd in range(max_iter):
-        nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
-               .groupBy(F.col("dst").alias("id"))
-               .agg(F.min("label").alias("_nbr")))
-        # TWO composed dereferences per barrier round: jump resolves
-        # label^4(x) instead of label^2(x).  Measured A/B (same session,
-        # same graphs): on the 200k-node/4k×50-chain fixed graph the
-        # rounds drop 8 → 5 and wall-clock 18.2 s → 9.9 s (pointer
-        # chains along the id-ordered chains actually compress); on the
-        # q59 59-node jaccard graph rounds stay 13 either way (there
-        # convergence is bounded by the min-id node's eccentricity via
-        # the nbr hop, and label chains rarely shortcut) at equal cost
-        # (8.27 vs 8.29 s) — so the deeper jump is a win-or-wash.  The
-        # composed plan stays FLAT: all copies read the same
-        # post-barrier parquet relation, so planning cost is constant
-        # per round (no iterative lineage growth).
-        #
-        # A SECOND nbr hop per round (two-hop neighbor min) was A/B'd
-        # in round 7 and rejected: q59 graph 14 → 8 rounds but only
-        # 9.19 → 8.37 s, while the 200k-chain fixed graph kept 5
-        # rounds and BLEW UP 12.4 → 51.6 s (the extra hop re-runs the
-        # first hop's aggregation unbarriered over the full edge list
-        # — pure added shuffle where convergence is already
-        # jump-bound).  Numbers in BASELINE.md round 7.
-        j1 = _resolve(labels)
-        jump = _resolve(j1).withColumnRenamed("label", "_jmp")
-        upd = _barrier(
-            labels.join(nbr, "id", "left").join(jump, "id", "left")
-            .select(
-                "id", "label",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("_nbr"), F.col("label")),
-                    F.coalesce(F.col("_jmp"), F.col("label")),
-                ).alias("_new")),
-            f"labels_{rnd}")
-        changed = upd.filter(F.col("_new") < F.col("label")).count()
-        labels = upd.select("id", F.col("_new").alias("label"))
+        nbr = (edges.join(labels.select(F.col("id").alias("src"), "label"),
+                          "src")
+               .select(F.col("dst").alias("id"),
+                       F.col("label").alias("_c")))
+        m = (labels.select("id", F.col("label").alias("_c"))
+             .unionByName(nbr)
+             .groupBy("id").agg(F.min("_c").alias("label")))
+        for _ in range(3):
+            # every label value is a real node id (min over reachable
+            # ids) and the map covers every node, so the join is total
+            m = (m.alias("x")
+                 .join(m.select(F.col("id").alias("_yid"),
+                                F.col("label").alias("_ylabel")),
+                       F.col("x.label") == F.col("_yid"))
+                 .select(F.col("x.id").alias("id"),
+                         F.col("_ylabel").alias("label")))
+        obs = Observation()
+        (m.observe(obs, F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+         .write.mode("overwrite").parquet(f"{root}/labels_{rnd}"))
+        metrics = obs.get
+        labels = spark.read.parquet(f"{root}/labels_{rnd}")
         if rnd > 0:
             _fs_delete(f"{root}/labels_{rnd - 1}")
-        if changed == 0:
+        if metrics["n"] == 0 or (prev_sum is not None
+                                 and metrics["s"] == prev_sum):
             _fs_delete(f"{root}/edges")
             return labels.select("id", F.col("label").alias("component"))
+        prev_sum = metrics["s"]
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
 

@@ -397,6 +397,20 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         df.write.mode("overwrite").parquet(f"{scratch_dir}/{name}")
         return spark.read.parquet(f"{scratch_dir}/{name}")
 
+    def _static(df: DataFrame, name: str) -> DataFrame:
+        """Materialize a loop-invariant relation.  Every round's plan
+        references nodes/cedges, and without a cut the caller's whole
+        edge-derivation subtree (explode/distinct/PSL cascades) inlines
+        into — and re-executes inside — each reference: the fixed-graph
+        bench pick spent over half its time re-deriving the edge list
+        (measured r9, OPTIMIZATION_r09.md).  With scratch_dir the cut is
+        the durable parquet barrier; otherwise a lazy localCheckpoint
+        (executor-local, memory+disk — the same device the q90/q71
+        composition seams use)."""
+        if scratch_dir is not None:
+            return _barrier(df, name)
+        return df.localCheckpoint(eager=False)
+
     if seeds is not None:
         scol = F.col(seeds.columns[0])
         seed_ids = seeds.select(
@@ -414,7 +428,7 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         # one flag column computed once; the teleport set is a curated
         # trust list (small), but the join strategy is left to the
         # optimizer rather than forcing a broadcast of an unbounded frame
-        nodes = _barrier(
+        nodes = _static(
             nodes.join(seed_ids.withColumn("_t", F.lit(True)), "id",
                        "left")
             .select("id", F.coalesce(F.col("_t"), F.lit(False))
@@ -422,6 +436,8 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
             "nodes")
         n_tel = num_seeds
     else:
+        nodes = _static(nodes.withColumn("_teleports", F.lit(True)),
+                        "nodes")
         if num_nodes is None:
             num_nodes = nodes.count()
         if num_nodes < 1:
@@ -429,11 +445,10 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
                 "pagerank: empty graph (no edges => no nodes); callers "
                 "composing over extracted links should handle the "
                 "zero-edge corpus before ranking (plans.webgraph does)")
-        nodes = nodes.withColumn("_teleports", F.lit(True))
         n_tel = num_nodes
 
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    cedges = _barrier(e.join(outdeg, "src"), "cedges")
+    cedges = _static(e.join(outdeg, "src"), "cedges")
     base_val = ((scale * (damping_den - damping_num)) // damping_den) \
         // n_tel
     base = F.when(F.col("_teleports"), F.lit(base_val)).otherwise(F.lit(0))
@@ -441,7 +456,12 @@ def pagerank(edges: DataFrame, num_nodes: int | None = None,
         "id", F.when(F.col("_teleports"), F.lit(scale // n_tel))
         .otherwise(F.lit(0)).alias("rank"))
 
-    dang_src = outdeg.select(F.col("src").alias("id"))
+    dang_src = None
+    if redistribute_dangling:
+        # node-bounded (distinct srcs); referenced once per round by the
+        # dangling sum — cut it like the other loop-invariant relations
+        dang_src = _static(outdeg.select(F.col("src").alias("id")),
+                           "dang_src")
     for rnd in range(iterations):
         contrib = (cedges.join(ranks.withColumnRenamed("id", "src"),
                                "src")
