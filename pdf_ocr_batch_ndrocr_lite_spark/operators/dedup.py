@@ -262,8 +262,15 @@ def minhash_dedup(docs: DataFrame, id_col: str = "doc_id",
     over the candidate-doc subset): the LSH bucketing already bounds
     WHICH docs are verified, the DF cap bounds the per-shingle join
     fan-out within them."""
+    # lineage cut: the candidate-pair frame is referenced THREE times
+    # below (both legs of cand_ids + the verify semi-join), and each
+    # reference would inline — and re-execute — the whole signature +
+    # bucket + salted-join subtree.  Candidates are id pairs bounded by
+    # LSH candidate volume (the same frame the streaming sink persists),
+    # so executor-local materialization is cheap at any scale.
     candidates = minhash_lsh_candidates(docs, id_col, text_col,
-                                        num_hashes, bands, k)
+                                        num_hashes, bands, k) \
+        .localCheckpoint(eager=False)
     cand_ids = (candidates.select(F.col("a_id").alias(id_col))
                 .union(candidates.select(F.col("b_id").alias(id_col)))
                 .distinct())
@@ -360,11 +367,15 @@ def incremental_minhash_dedup(new: DataFrame, corpus: DataFrame,
     cb = (corpus_buckets if corpus_buckets is not None
           else _band_buckets(corpus, id_col, text_col, num_hashes,
                              bands, k))
+    # lineage cut, same reason as minhash_dedup's candidates: `cand` is
+    # referenced three times below (both semi-joins + norm), each of
+    # which would re-execute the two-sided bucket join subtree
     cand = (salted_two_sided_join(nb, cb, ["band", "key"], id_col,
                                   bucket_cap, max_salts)
             .select(F.col(f"a.{id_col}").alias("new_id"),
                     F.col(f"b.{id_col}").alias("old_id"))
-            .distinct())
+            .distinct()
+            .localCheckpoint(eager=False))
     cand_new = new.join(cand.select(F.col("new_id").alias(id_col)),
                         id_col, "left_semi")
     cand_old = corpus.join(cand.select(F.col("old_id").alias(id_col)),
@@ -754,6 +765,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("_df") <= max_df)
                 .select("shingle"))
         sh = sh.join(keep, "shingle", "left_semi")
+    # lineage cut: `sh` feeds the size agg AND both self-join legs —
+    # three references that would each re-run the explode + per-doc
+    # dedup (+ DF-cap semi-join) subtree.  The materialized stream is
+    # the same (id, shingle) volume the joins shuffle anyway
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
