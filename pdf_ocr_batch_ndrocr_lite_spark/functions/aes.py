@@ -74,6 +74,18 @@ _T1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _T0]
 _T2 = [((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _T0]
 _T3 = [((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _T0]
 
+# Decryption T-tables (the FIPS-197 §5.3.5 equivalent inverse cipher):
+# D0[x] = (14·is, 9·is, 13·is, 11·is) packed big-endian with
+# is = INV_SBOX[x]; D1..D3 are byte rotations, mirroring _T1.._T3.
+_D0 = []
+for _x in range(256):
+    _is = INV_SBOX[_x]
+    _D0.append((_gmul(_is, 14) << 24) | (_gmul(_is, 9) << 16)
+               | (_gmul(_is, 13) << 8) | _gmul(_is, 11))
+_D1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _D0]
+_D2 = [((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _D0]
+_D3 = [((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _D0]
+
 _RCON = [0x00, 0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
@@ -244,19 +256,81 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return struct.pack(f">{len(out)}I", *out)
 
 
+def _imc_word(wd: int) -> int:
+    """InvMixColumns over one big-endian round-key word (key-schedule
+    transform of the equivalent inverse cipher; runs once per key)."""
+    a0, a1 = wd >> 24, (wd >> 16) & 0xFF
+    a2, a3 = (wd >> 8) & 0xFF, wd & 0xFF
+    return (((_gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13)
+              ^ _gmul(a3, 9)) << 24)
+            | ((_gmul(a0, 9) ^ _gmul(a1, 14) ^ _gmul(a2, 11)
+                ^ _gmul(a3, 13)) << 16)
+            | ((_gmul(a0, 13) ^ _gmul(a1, 9) ^ _gmul(a2, 14)
+                ^ _gmul(a3, 11)) << 8)
+            | (_gmul(a0, 11) ^ _gmul(a1, 13) ^ _gmul(a2, 9)
+               ^ _gmul(a3, 14)))
+
+
+@lru_cache(maxsize=64)
+def _dsched(key: bytes) -> Tuple[tuple, int]:
+    """Round keys for the equivalent inverse cipher: the middle round
+    words pass through InvMixColumns; first and last stay plain."""
+    w, nr = _sched(key)
+    dw = list(w)
+    for i in range(4, 4 * nr):
+        dw[i] = _imc_word(w[i])
+    return tuple(dw), nr
+
+
 def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC, NO padding removal — truncates any ragged tail block
-    (tolerant-scanner behavior for corrupt ciphertext)."""
+    (tolerant-scanner behavior for corrupt ciphertext).
+
+    Word-based equivalent-inverse-cipher formulation (D-table lookups,
+    one unpack in / one pack out), the decrypt twin of `cbc_encrypt`'s
+    T-table chain — the byte-list inverse-round form it replaces spent
+    its time in per-byte GF(2^8) multiplies (kernel profile, r9);
+    equality fuzz-checked against the block-primitive formulation."""
     w, nr = _sched(key)
-    wl = list(w)
-    out = bytearray()
-    prev = iv
+    dw, _ = _dsched(key)
     n = len(data) - len(data) % 16
-    for i in range(0, n, 16):
-        ct = data[i:i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(wl, nr, ct), prev))
-        prev = ct
-    return bytes(out)
+    if n == 0:
+        return b""
+    D0, D1, D2, D3, IS = _D0, _D1, _D2, _D3, INV_SBOX
+    words = struct.unpack(f">{n // 4}I", data[:n])
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    kf = 4 * nr
+    wkf0, wkf1, wkf2, wkf3 = w[kf], w[kf + 1], w[kf + 2], w[kf + 3]
+    w0, w1, w2, w3 = w[0], w[1], w[2], w[3]
+    out = []
+    for i in range(0, len(words), 4):
+        c0, c1, c2, c3 = words[i], words[i + 1], words[i + 2], words[i + 3]
+        s0, s1, s2, s3 = c0 ^ wkf0, c1 ^ wkf1, c2 ^ wkf2, c3 ^ wkf3
+        for rnd in range(nr - 1, 0, -1):
+            k = 4 * rnd
+            t0 = (D0[s0 >> 24] ^ D1[(s3 >> 16) & 0xFF]
+                  ^ D2[(s2 >> 8) & 0xFF] ^ D3[s1 & 0xFF] ^ dw[k])
+            t1 = (D0[s1 >> 24] ^ D1[(s0 >> 16) & 0xFF]
+                  ^ D2[(s3 >> 8) & 0xFF] ^ D3[s2 & 0xFF] ^ dw[k + 1])
+            t2 = (D0[s2 >> 24] ^ D1[(s1 >> 16) & 0xFF]
+                  ^ D2[(s0 >> 8) & 0xFF] ^ D3[s3 & 0xFF] ^ dw[k + 2])
+            t3 = (D0[s3 >> 24] ^ D1[(s2 >> 16) & 0xFF]
+                  ^ D2[(s1 >> 8) & 0xFF] ^ D3[s0 & 0xFF] ^ dw[k + 3])
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        out.append(((IS[s0 >> 24] << 24) | (IS[(s3 >> 16) & 0xFF] << 16)
+                    | (IS[(s2 >> 8) & 0xFF] << 8) | IS[s1 & 0xFF])
+                   ^ w0 ^ p0)
+        out.append(((IS[s1 >> 24] << 24) | (IS[(s0 >> 16) & 0xFF] << 16)
+                    | (IS[(s3 >> 8) & 0xFF] << 8) | IS[s2 & 0xFF])
+                   ^ w1 ^ p1)
+        out.append(((IS[s2 >> 24] << 24) | (IS[(s1 >> 16) & 0xFF] << 16)
+                    | (IS[(s0 >> 8) & 0xFF] << 8) | IS[s3 & 0xFF])
+                   ^ w2 ^ p2)
+        out.append(((IS[s3 >> 24] << 24) | (IS[(s2 >> 16) & 0xFF] << 16)
+                    | (IS[(s1 >> 8) & 0xFF] << 8) | IS[s0 & 0xFF])
+                   ^ w3 ^ p3)
+        p0, p1, p2, p3 = c0, c1, c2, c3
+    return struct.pack(f">{len(out)}I", *out)
 
 
 def pkcs7_pad(data: bytes) -> bytes:

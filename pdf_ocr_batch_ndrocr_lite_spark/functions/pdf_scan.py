@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from functools import lru_cache
 from hashlib import md5
 from typing import Dict, List, Optional, Tuple
 
@@ -67,11 +68,17 @@ class EncryptedPdfError(ValueError):
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
-    """Plain RC4 (the PDF standard security handler's V1/V2 cipher)."""
+    """Plain RC4 (the PDF standard security handler's V1/V2 cipher).
+
+    The key is tiled to 256 bytes up front so the KSA loop indexes it
+    directly (no per-iteration modulo) — the KSA dominates this
+    function's cost on the 20-round /U authentication path, where each
+    round ciphers only 16-32 bytes."""
     S = list(range(256))
     j = 0
+    k = (key * (255 // len(key) + 1))[:256]
     for i in range(256):
-        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        j = (j + S[i] + k[i]) & 0xFF
         S[i], S[j] = S[j], S[i]
     out = bytearray(len(data))
     i = j = 0
@@ -91,6 +98,21 @@ def rc4(key: bytes, data: bytes) -> bytes:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
+@lru_cache(maxsize=512)
+def _key_ref_re(key: bytes):
+    """Compiled `/Key N G R` pattern per dict key — these lookups run
+    several times per object, and rebuilding escape+pattern strings per
+    call showed up in the kernel profile."""
+    return re.compile(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R\b")
+
+
+@lru_cache(maxsize=512)
+def _key_int_re(key: bytes):
+    return re.compile(re.escape(key) + rb"\s+([+-]?\d+)(?![\d.])"
+                      rb"(?!\s+\d+\s+R\b)")
 
 
 class _Obj:
@@ -106,25 +128,29 @@ class _Obj:
 
 
 def _find_dict(body: bytes) -> bytes:
-    """First balanced << ... >> region of an object body ('' if none)."""
+    """First balanced << ... >> region of an object body ('' if none).
+
+    Token-jump formulation: `find` both delimiters and step between
+    occurrences (C-speed scans) instead of advancing one byte of
+    interpreted Python at a time — same non-overlapping left-to-right
+    token sequence, so the cut is byte-identical."""
     start = body.find(b"<<")
     if start < 0:
         return b""
-    depth = 0
-    i = start
-    while i < len(body) - 1:
-        two = body[i:i + 2]
-        if two == b"<<":
+    depth = 1
+    i = start + 2
+    while True:
+        c = body.find(b">>", i)
+        if c < 0:
+            return body[start:]
+        o = body.find(b"<<", i, c)
+        while o >= 0:
             depth += 1
-            i += 2
-        elif two == b">>":
-            depth -= 1
-            i += 2
-            if depth == 0:
-                return body[start:i]
-        else:
-            i += 1
-    return body[start:]
+            o = body.find(b"<<", o + 2, c)
+        depth -= 1
+        i = c + 2
+        if depth == 0:
+            return body[start:i]
 
 
 def _parse_objects(data: bytes) -> Dict[int, _Obj]:
@@ -135,7 +161,7 @@ def _parse_objects(data: bytes) -> Dict[int, _Obj]:
         body = data[m.end(): end if end >= 0 else len(data)]
         dict_src = _find_dict(body)
         stream = None
-        sm = re.search(rb"stream\r?\n", body)
+        sm = _STREAM_START_RE.search(body)
         if sm:
             send = body.find(b"endstream", sm.end())
             if send >= 0:
@@ -161,7 +187,7 @@ def _parse_objects(data: bytes) -> Dict[int, _Obj]:
 
 
 def _dict_ref(dict_src: bytes, key: bytes) -> Optional[int]:
-    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R\b", dict_src)
+    m = _key_ref_re(key).search(dict_src)
     return int(m.group(1)) if m else None
 
 
@@ -169,8 +195,7 @@ def _dict_int(dict_src: bytes, key: bytes) -> Optional[int]:
     """Direct integer value for `key`; an INDIRECT value (`/Length 5 0 R`)
     deliberately returns None — the first number of a reference is an
     object id, not the value."""
-    m = re.search(re.escape(key) + rb"\s+([+-]?\d+)(?![\d.])"
-                  rb"(?!\s+\d+\s+R\b)", dict_src)
+    m = _key_int_re(key).search(dict_src)
     return int(m.group(1)) if m else None
 
 
