@@ -119,10 +119,16 @@ def salted_self_join(df: DataFrame, key_cols: list, id_col: str,
                        F.lit(max_salts).cast("int"),
                        F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
                    ).alias("_s")))
+    # lineage cut: `cells` feeds BOTH join legs below (and `df` itself
+    # additionally feeds the hot-bucket profile), so without it the
+    # caller's whole upstream subtree executes three times per
+    # self-join.  The materialized frame is the same volume the join
+    # shuffles anyway.
     cells = (df.join(F.broadcast(hot), list(key_cols), "left")
              .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
              .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col), F.lit(7)),
-                                         F.col("_s"))))
+                                         F.col("_s")))
+             .localCheckpoint(eager=False))
     a = (cells.withColumn(
             "_jcell", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
          .drop("_cell", "_s").alias("a"))
@@ -536,13 +542,22 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     # stays constant per round (no iterative lineage growth).
     prev_sum = None
     for rnd in range(max_iter):
-        nbr = (edges.join(labels.select(F.col("id").alias("src"), "label"),
-                          "src")
-               .select(F.col("dst").alias("id"),
-                       F.col("label").alias("_c")))
-        m = (labels.select("id", F.col("label").alias("_c"))
-             .unionByName(nbr)
-             .groupBy("id").agg(F.min("_c").alias("label")))
+        # Adaptive hop count: a graph still unconverged after 3 rounds
+        # is hop-bound (min-label diffusion through successive basins —
+        # the near-dup blob shape), where a SECOND edge hop per barrier
+        # round halves the remaining rounds (q59 graph: 10 -> 7
+        # measured).  Jump-bound graphs (chains) converge within 3
+        # rounds and never pay the extra full-edge join.  Any hop mix
+        # converges to the same min-reachable labels.
+        m = labels
+        for _ in range(1 if rnd < 3 else 2):
+            nbr = (edges.join(m.select(F.col("id").alias("src"), "label"),
+                              "src")
+                   .select(F.col("dst").alias("id"),
+                           F.col("label").alias("_c")))
+            m = (m.select("id", F.col("label").alias("_c"))
+                 .unionByName(nbr)
+                 .groupBy("id").agg(F.min("_c").alias("label")))
         for _ in range(3):
             # every label value is a real node id (min over reachable
             # ids) and the map covers every node, so the join is total
