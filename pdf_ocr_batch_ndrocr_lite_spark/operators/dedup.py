@@ -147,6 +147,11 @@ def salted_two_sided_join(a: DataFrame, b: DataFrame, key_cols: list,
     into every cell, so every qualifying (a, b) pair matches exactly
     once and results are invariant to the cap.  Frames are returned
     aliased ``a``/``b``."""
+    # NOTE: `b` feeds both the hot-bucket profile and the cell
+    # assignment, but a localCheckpoint cut here was A/B'd (r9) and
+    # kept OFF: wall-clock parity locally, and the streaming path
+    # passes an already-materialized stored bucket index as `b`, which
+    # the cut would copy for nothing.
     hot = (b.groupBy(*key_cols)
            .agg(F.count(F.lit(1)).alias("_bn"))
            .filter(F.col("_bn") > bucket_cap)
