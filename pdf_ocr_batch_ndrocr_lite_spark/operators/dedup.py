@@ -111,6 +111,14 @@ def salted_self_join(df: DataFrame, key_cols: list, id_col: str,
     ``a.id < b.id`` orientation filter already applied; callers project
     their payload columns via ``F.col("a.<col>")`` / ``F.col("b.<col>")``.
     """
+    # lineage cut on the INPUT: `df` feeds the hot-bucket profile and,
+    # via `cells`, both join legs — without the cut the caller's whole
+    # upstream subtree (signature aggregation, vector norms) executes
+    # three times per self-join.  The cut sits ABOVE the salt scaffold
+    # so the pmod cell assignment and cell explode stay visible in the
+    # optimized plan (plan-guard test); the materialized frame is the
+    # same volume the join shuffles anyway.
+    df = df.localCheckpoint(eager=False)
     hot = (df.groupBy(*key_cols)
            .agg(F.count(F.lit(1)).alias("_bn"))
            .filter(F.col("_bn") > bucket_cap)
@@ -119,16 +127,10 @@ def salted_self_join(df: DataFrame, key_cols: list, id_col: str,
                        F.lit(max_salts).cast("int"),
                        F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
                    ).alias("_s")))
-    # lineage cut: `cells` feeds BOTH join legs below (and `df` itself
-    # additionally feeds the hot-bucket profile), so without it the
-    # caller's whole upstream subtree executes three times per
-    # self-join.  The materialized frame is the same volume the join
-    # shuffles anyway.
     cells = (df.join(F.broadcast(hot), list(key_cols), "left")
              .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
              .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col), F.lit(7)),
-                                         F.col("_s")))
-             .localCheckpoint(eager=False))
+                                         F.col("_s"))))
     a = (cells.withColumn(
             "_jcell", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
          .drop("_cell", "_s").alias("a"))

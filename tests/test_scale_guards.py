@@ -412,15 +412,21 @@ def test_lsh_hot_bucket_split_bounds_cell_size(spark):
 def test_lsh_candidates_plan_has_salt_scaffold(spark):
     """The optimized plan must carry the guard's cell machinery: the
     pmod cell assignment and the per-bucket cell explode (a plain
-    unsalted self-join has neither)."""
+    unsalted self-join has neither).  Since the r9 lineage cut, the
+    salted join materializes its INPUT once (localCheckpoint), so the
+    shingle/band explodes live above the cut — asserted on the bucket
+    frame the join consumes — while the salt scaffold itself (pmod +
+    a-side cell explode) must stay visible in the join plan."""
     docs = _boilerplate_corpus(spark)
     plan = dd.minhash_lsh_candidates(
         docs, num_hashes=4, bands=2, k=2, bucket_cap=8)._jdf \
         .queryExecution().optimizedPlan().toString()
     assert "pmod" in plan
-    # Generates: shingle explode (x2 sides), band explode (x2), cell
-    # explode (a-side) — at least 3 distinct explode stages survive
-    assert plan.count("Generate") >= 3
+    assert plan.count("Generate") >= 1   # a-side cell explode
+    bplan = dd.band_buckets(docs, num_hashes=4, bands=2, k=2)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    # shingle explode + band explode feed the (id, band, key) frame
+    assert bplan.count("Generate") >= 2
 
 
 def test_shingle_document_frequency_distinct_docs(spark):
