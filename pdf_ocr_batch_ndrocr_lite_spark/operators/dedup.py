@@ -512,10 +512,18 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
 
     from pyspark.sql import Observation
 
-    half = pairs.select(F.col(a_col).cast("bigint").alias("src"),
-                        F.col(b_col).cast("bigint").alias("dst"))
-    (half.unionByName(half.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst"))).distinct()
+    # symmetric closure in ONE pass: a union of `half` with its swap
+    # references the caller's pair pipeline twice (q59's whole jaccard
+    # verify executed two times into the barrier) — explode both
+    # orientations from each row instead
+    a, b = (F.col(a_col).cast("bigint").alias("v"),
+            F.col(b_col).cast("bigint").alias("w"))
+    (pairs.select(F.explode(F.array(
+        F.struct(a, b),
+        F.struct(F.col(b_col).cast("bigint").alias("v"),
+                 F.col(a_col).cast("bigint").alias("w")))).alias("_e"))
+     .select(F.col("_e.v").alias("src"), F.col("_e.w").alias("dst"))
+     .distinct()
      .write.mode("overwrite").parquet(f"{root}/edges"))
     edges = spark.read.parquet(f"{root}/edges")
     labels = (edges.select(F.col("src").alias("id")).distinct()
