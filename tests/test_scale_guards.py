@@ -564,6 +564,19 @@ def test_connected_components_transitive_chain(spark):
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_degenerate_inputs(spark):
+    """The r9 observe()-sum convergence test must handle the degenerate
+    shapes the old changed-count loop handled: an empty pair frame
+    (count metric 0 -> empty result, no extra rounds) and a self-loop
+    -only graph (labels already converged at round 0's sum)."""
+    empty = spark.createDataFrame([], "a_id bigint, b_id bigint")
+    assert dd.connected_components(empty).collect() == []
+    loop = spark.createDataFrame([(5, 5)], "a_id bigint, b_id bigint")
+    got = {r["id"]: r["component"]
+           for r in dd.connected_components(loop).collect()}
+    assert got == {5: 5}
+
+
 def test_connected_components_raises_without_convergence(spark):
     import pytest
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
